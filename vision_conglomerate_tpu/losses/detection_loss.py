@@ -77,12 +77,19 @@ def scale_loss(
     match = preds[asn.batch_idx, asn.grid_j, asn.grid_i, asn.anchor_idx]  # (N, D)
     match = match.astype(jnp.float32)
     p_cls = match[:, 1:1 + c]
+    # sanitize invalid candidate rows BEFORE any nonlinear math: padded label
+    # slots have wh == 0, which would produce NaN in CIoU (arctan(w/h)) and —
+    # even though masked out of the loss value — leak NaN into gradients
+    # through the masked branches (the where-NaN-grad trap).
+    safe_t = jnp.where(valid[:, None], asn.t_xywh,
+                       jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32))
+    safe_anchors = jnp.where(valid[:, None], asn.anchors, 1.0)
     p_xy = match[:, 1 + c:3 + c]
-    p_wh = match[:, 3 + c:5 + c] * asn.anchors
+    p_wh = match[:, 3 + c:5 + c] * safe_anchors
     p_xywh = jnp.concatenate([p_xy, p_wh], axis=-1)
 
     # ---- box loss (CIoU)
-    ciou = compute_ciou(p_xywh, asn.t_xywh)
+    ciou = compute_ciou(p_xywh, safe_t)
     ciou_loss = masked_mean(1.0 - ciou, valid)
 
     # ---- conf loss: target grid = detached ciou at positives

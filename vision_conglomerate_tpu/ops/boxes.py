@@ -51,7 +51,11 @@ def compute_ciou(preds_xywh: jnp.ndarray, targets_xywh: jnp.ndarray, e: float = 
     cw = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
     ch = jnp.maximum(py2, ty2) - jnp.minimum(py1, ty1)
     c2 = cw ** 2 + ch ** 2 + e
-    v = (4.0 / math.pi ** 2) * jnp.square(jnp.arctan(tw / th) - jnp.arctan(pw / ph))
+    # denominators clamped to a tiny eps: torch yields NaN when h underflows
+    # to exactly 0 (then zeroes the *value* but not the gradient); clamping is
+    # numerically invisible for real boxes and keeps gradients finite.
+    v = (4.0 / math.pi ** 2) * jnp.square(
+        jnp.arctan(tw / jnp.maximum(th, 1e-9)) - jnp.arctan(pw / jnp.maximum(ph, 1e-9)))
     rho2 = (
         jnp.square(preds_xywh[..., 0:1] - targets_xywh[..., 0:1])
         + jnp.square(preds_xywh[..., 1:2] - targets_xywh[..., 1:2])

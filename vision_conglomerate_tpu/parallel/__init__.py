@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    data_parallel_step,
+    shard_batch,
+    replicate,
+    process_is_primary,
+)

@@ -1,0 +1,131 @@
+"""Shared trainer plumbing: checkpoint dirs, metric history, CSV/plots.
+
+Mirrors the reference pipeline surface
+(/root/reference/pipeline/detection_trainer.py:19-252): public methods
+.train/.evaluate/.save_checkpoint/.save_best_model/.load_checkpoint/
+.metrics_to_csv/.save_metrics_plots, artifact paths, config copies with
+num_keypoints injected, and process-0-only writes (rank-0 ≡
+jax.process_index()==0 here).
+"""
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Any, Dict, List, Optional, Tuple
+
+import pandas as pd
+
+from ..parallel.mesh import process_is_primary
+from ..utils.yaml_io import load_yaml, save_yaml
+from .checkpoint import load_checkpoint as _load_ckpt
+from .checkpoint import save_checkpoint as _save_ckpt
+
+logger = logging.getLogger(__name__)
+
+
+class BasePipeline:
+    task = "detection"
+
+    def __init__(self, model_name: str, config_path: Optional[str] = None,
+                 lr_schedule_interval: int = 1, num_keypoints: Optional[int] = None):
+        self.model_name = model_name
+        self.config_path = config_path
+        self.lr_schedule_interval = lr_schedule_interval
+        self.num_keypoints = num_keypoints
+        self.last_epoch = 0
+        self._train_metrics: List[Dict[str, float]] = []
+        self._eval_metrics: List[Dict[str, float]] = []
+        self.metrics_dir = f"metrics/{self.task}"
+        self.checkpoints_dir = os.path.join(
+            f"saved_model/{self.task}/checkpoints", str(int(time.time())))
+        self.best_model_dir = f"saved_model/{self.task}/best_model"
+        if config_path:
+            self._save_config_copy(config_path, to_checkpoint_dir=True)
+            self._save_config_copy(config_path, to_checkpoint_dir=False)
+
+    # ------------------------------------------------------------ manifest
+    def _manifest(self, snapshot: bool) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def _restore(self, manifest: Dict[str, Any]):
+        raise NotImplementedError
+
+    def _save_config_copy(self, config_path: str, to_checkpoint_dir: bool):
+        if not process_is_primary():
+            return
+        dest = os.path.join(
+            self.checkpoints_dir if to_checkpoint_dir else self.best_model_dir, "config")
+        config = load_yaml(config_path)
+        if "model_config" in config:
+            config["model_config"]["num_keypoints"] = self.num_keypoints
+        os.makedirs(dest, exist_ok=True)
+        save_yaml(config, os.path.join(dest, "config.yaml"),
+                  sort_keys=False, default_flow_style=True)
+
+    def save_best_model(self):
+        if process_is_primary():
+            path = os.path.join(self.best_model_dir, f"{self.model_name}.ckpt.tar")
+            _save_ckpt(path, self._manifest(snapshot=False))
+
+    def save_checkpoint(self):
+        if process_is_primary():
+            stamp = str(datetime.now()).replace(":", "-")
+            path = os.path.join(
+                self.checkpoints_dir, f"{self.model_name}-{self.last_epoch}-{stamp}.ckpt.tar")
+            _save_ckpt(path, self._manifest(snapshot=True))
+
+    def load_checkpoint(self, path: str) -> Dict[str, Any]:
+        manifest = _load_ckpt(path)
+        self._restore(manifest)
+        self.last_epoch = manifest["LAST_EPOCH"]
+        metrics = manifest.get("METRICS", {})
+        self._train_metrics = list(metrics.get("TRAIN", []))
+        self._eval_metrics = list(metrics.get("EVAL", []))
+        return manifest
+
+    # ------------------------------------------------------------ metrics IO
+    def _record(self, mode: str, metrics: Dict[str, float], verbose: bool):
+        if process_is_primary():
+            getattr(self, f"_{mode}_metrics").append(metrics)
+            if verbose:
+                log = f"[{mode.title()}]: " + "\t".join(
+                    f"{k.replace('_', ' ')}: {v :.4f}" for k, v in metrics.items())
+                print(log)
+
+    def metrics_to_csv(self):
+        if process_is_primary():
+            os.makedirs(self.metrics_dir, exist_ok=True)
+            pd.DataFrame(self._train_metrics).to_csv(
+                os.path.join(self.metrics_dir, "train_metrics.csv"), index=False)
+            pd.DataFrame(self._eval_metrics).to_csv(
+                os.path.join(self.metrics_dir, "eval_metrics.csv"), index=False)
+
+    def save_metrics_plots(self, figsize: Tuple[float, float] = (15, 60)):
+        if process_is_primary():
+            self._save_metrics_plots("train", figsize)
+            self._save_metrics_plots("eval", figsize)
+
+    def _save_metrics_plots(self, mode: str, figsize: Tuple[float, float]):
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        df = pd.DataFrame(getattr(self, f"_{mode}_metrics"))
+        if df.empty:
+            return
+        nrows = len(df.columns)
+        fig, axs = plt.subplots(nrows, 1, figsize=figsize)
+        if nrows == 1:
+            axs = [axs]
+        for ax, col in zip(axs, df.columns):
+            label = col.replace("_", " ").title()
+            ax.plot(df[col].to_numpy())
+            ax.grid(visible=True)
+            ax.set_xlabel("Epoch")
+            ax.set_ylabel(label)
+            ax.set_title(f"[{mode.title()}] {label} vs Epoch", fontsize=24)
+            ax.tick_params(axis="x", which="major", labelsize=20)
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        fig.savefig(os.path.join(self.metrics_dir, f"{mode}_metrics_plot.jpg"))
+        fig.clear()
+        plt.close(fig)

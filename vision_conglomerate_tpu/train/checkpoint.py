@@ -1,0 +1,39 @@
+"""Checkpoint/resume with the reference's manifest semantics.
+
+Artifacts mirror /root/reference/pipeline/detection_trainer.py:64-141:
+- snapshot: {LAST_EPOCH, NETWORK_PARAMS, OPTIMIZER_PARAMS,
+  METRICS{TRAIN, EVAL}, NUM_CLASSES [, LR_SCHEDULER_PARAMS]} at
+  saved_model/<task>/checkpoints/<unix_ts>/<name>-<epoch>-<datetime>.ckpt.tar
+- best model (params only) at saved_model/<task>/best_model/<Class>.ckpt.tar
+- a config.yaml copy (with num_keypoints injected) beside both, which the
+  inference CLIs reload as their config source.
+
+NETWORK_PARAMS here is the flax variables dict {'params': ...,
+'batch_stats': ...} (anchors ride inside params exactly as the reference's
+nn.Parameter anchors ride in the state_dict, detection.py:36-38).
+Serialization is numpy-pickle of the pure pytrees — process-0-only writes,
+every process reads (the DDP-parity rule, detection_trainer.py:107-141).
+"""
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, manifest: Dict[str, Any]):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(manifest), f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Checkpoint path {path} does not exist")
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,214 @@
+"""Detection training pipeline: jitted SPMD train/eval steps over a dp mesh.
+
+Re-design of /root/reference/pipeline/detection_trainer.py:19-252. The
+per-batch hot path (forward, assignment, loss, backward, optimizer, metric
+sync) is ONE compiled XLA program per shard-shape; the Python loop only feeds
+prefetched batches and accumulates scalar metrics, so there is no
+device<->host sync inside the step (the reference's sklearn metrics round-trip
+is gone — metrics are in-jit, SURVEY §2 #14).
+
+DP semantics mirror DDP: gradients pmean'd over the 'dp' axis; metrics
+pmean'd (== ddp_sync_metrics AVG); BN stats are per-shard during the step and
+pmean'd into the replicated state (see parallel/mesh.py docstring).
+"""
+import logging
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import tqdm
+
+from ..losses import DetectionLossConfig, detection_loss
+from ..models import DetectionNet
+from ..nn.initializers import INIT_SCHEMES
+from ..parallel.mesh import DP_AXIS, make_mesh, shard_map
+from jax.sharding import PartitionSpec as P
+
+from .base import BasePipeline
+from .lr_schedule import LRScheduler
+from .optim import set_learning_rate
+from .state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+class TrainDetectionPipeline(BasePipeline):
+    task = "detection"
+
+    def __init__(
+        self,
+        model: DetectionNet,
+        loss_cfg: DetectionLossConfig,
+        tx: optax.GradientTransformation,
+        lr_scheduler: Optional[LRScheduler] = None,
+        lr_schedule_interval: int = 1,
+        model_name: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        mesh=None,
+        config_path: Optional[str] = None,
+        seed: int = 42,
+        sample_input_shape: Tuple[int, int, int] = (640, 640, 3),
+        init_scheme: str = "xavier",
+    ):
+        self.model = model
+        self.loss_cfg = loss_cfg
+        self.tx = tx
+        self.lr_scheduler = lr_scheduler
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        super().__init__(
+            model_name=model_name or type(model).__name__,
+            config_path=config_path,
+            lr_schedule_interval=lr_schedule_interval,
+            num_keypoints=model.num_keypoints,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1,) + tuple(sample_input_shape), jnp.float32)
+        variables = model.init(key, dummy, train=False)
+        params = variables["params"]
+        if init_scheme:
+            params = INIT_SCHEMES[init_scheme](params, jax.random.fold_in(key, 1))
+        self.state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=0,
+        )
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info(f"Number of model parameters: {n_params}")
+
+        self._train_step = self._build_step(train=True)
+        self._eval_step = self._build_step(train=False)
+
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+
+    # ----------------------------------------------------------- manifest
+    def _manifest(self, snapshot: bool) -> Dict[str, Any]:
+        net = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        manifest: Dict[str, Any] = {
+            "LAST_EPOCH": self.last_epoch,
+            "NETWORK_PARAMS": net,
+            "NUM_CLASSES": self.model.num_classes,
+        }
+        if snapshot:
+            manifest["OPTIMIZER_PARAMS"] = self.state.opt_state
+            manifest["METRICS"] = {"TRAIN": self._train_metrics, "EVAL": self._eval_metrics}
+            if self.lr_scheduler:
+                manifest["LR_SCHEDULER_PARAMS"] = self.lr_scheduler.state_dict()
+        return manifest
+
+    def _restore(self, manifest: Dict[str, Any]):
+        net = manifest["NETWORK_PARAMS"]
+        params = jax.tree_util.tree_map(jnp.asarray, net["params"])
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, net.get("batch_stats", {}))
+        if "OPTIMIZER_PARAMS" in manifest:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, manifest["OPTIMIZER_PARAMS"])
+        else:
+            opt_state = self.tx.init(params)
+        if self.lr_scheduler and "LR_SCHEDULER_PARAMS" in manifest:
+            self.lr_scheduler.load_state_dict(manifest["LR_SCHEDULER_PARAMS"])
+        self.state = TrainState(params, batch_stats, opt_state, step=self.state.step)
+
+    # --------------------------------------------------------------- steps
+    def _anchors_of(self, params):
+        return (params["sm_anchors"], params["md_anchors"], params["lg_anchors"])
+
+    def _loss_of(self, params, batch_stats, batch, train: bool, rng):
+        imgs, labels, mask = batch
+        kwargs = {}
+        if train:
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            new_bs = mut["batch_stats"]
+        else:
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, imgs, train=False)
+            new_bs = batch_stats
+        loss, metrics = detection_loss(
+            out, labels, mask, self._anchors_of(params), self.loss_cfg)
+        return loss, (metrics, new_bs)
+
+    def _build_step(self, train: bool):
+        def per_shard(state: TrainState, lr, *batch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+            if train:
+                (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                    lambda p: self._loss_of(p, state.batch_stats, batch, True, rng),
+                    has_aux=True,
+                )(state.params)
+                grads = jax.lax.pmean(grads, DP_AXIS)
+                new_bs = jax.lax.pmean(new_bs, DP_AXIS)
+                metrics = jax.lax.pmean(metrics, DP_AXIS)
+                opt_state = set_learning_rate(state.opt_state, lr)
+                updates, opt_state = self.tx.update(grads, opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = TrainState(params, new_bs, opt_state, state.step + 1)
+            else:
+                _, (metrics, _) = self._loss_of(
+                    state.params, state.batch_stats, batch, False, rng)
+                metrics = jax.lax.pmean(metrics, DP_AXIS)
+                new_state = state
+            return new_state, metrics
+
+        n_batch_args = 3
+
+        def wrapper(state, lr, *batch):
+            fn = shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(), P()) + tuple(P(DP_AXIS) for _ in batch),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return fn(state, lr, *batch)
+
+        return jax.jit(wrapper, donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- loop
+    @property
+    def _valid_modes(self):
+        return ("train", "eval")
+
+    def current_lr(self) -> float:
+        if self.lr_scheduler:
+            return self.lr_scheduler.get_lr()
+        return float(self.state.opt_state.hyperparams["learning_rate"])
+
+    def train(self, dataloader, verbose: bool = False) -> Dict[str, float]:
+        r = self.step(dataloader, "train", verbose)
+        if self.lr_scheduler and (self.last_epoch % self.lr_schedule_interval == 0):
+            self.lr_scheduler.step()
+        self.last_epoch += 1
+        return r
+
+    def evaluate(self, dataloader, verbose: bool = False) -> Dict[str, float]:
+        return self.step(dataloader, "eval", verbose)
+
+    def step(self, dataloader, mode: str, verbose: bool = False) -> Dict[str, float]:
+        if mode not in self._valid_modes:
+            raise ValueError(f"Invalid mode {mode} expected one of {self._valid_modes}")
+        step_fn = self._train_step if mode == "train" else self._eval_step
+        lr = jnp.float32(self.current_lr())
+        metrics_sum: Dict[str, float] = {}
+        count = 0
+        pbar = tqdm.tqdm(dataloader, total=len(dataloader), disable=not verbose)
+        for batch in pbar:
+            batch = self._device_batch(batch)
+            self.state, metrics = step_fn(self.state, lr, *batch)
+            for key, val in metrics.items():
+                metrics_sum[key] = metrics_sum.get(key, 0.0) + float(val)
+            count += 1
+        metrics_avg = {k: v / max(count, 1) for k, v in metrics_sum.items()}
+        self._record(mode, metrics_avg, verbose)
+        return metrics_avg
+
+    def _device_batch(self, batch):
+        return tuple(jnp.asarray(b) for b in batch)

@@ -1,0 +1,252 @@
+"""TrackNet training pipeline.
+
+Re-design of /root/reference/pipeline/tracknet_trainer.py:1-221:
+- train: cross-entropy over the 256-way per-pixel intensity classification,
+  one jitted SPMD step per batch (+ steps_per_epoch cap);
+- eval: heatmap -> circle decode, tp/fp/tn/fn per visibility class with a
+  4px tolerance, precision/recall/f1. The decode is the on-device
+  thresholded-centroid decoder by default (ops/heatmap.py) so eval stays on
+  TPU; `decode="hough"` switches to the reference's cv2.HoughCircles CPU path
+  for bit-parity checks (tracknet_trainer.py:88-124).
+"""
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import tqdm
+from jax.sharding import PartitionSpec as P
+
+from ..losses.focal import softmax_cross_entropy
+from ..models import TrackNet
+from ..nn.initializers import INIT_SCHEMES
+from ..ops.heatmap import decode_heatmap_peaks
+from ..parallel.mesh import DP_AXIS, make_mesh, shard_map
+from .base import BasePipeline
+from .lr_schedule import LRScheduler
+from .optim import set_learning_rate
+from .state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+class TrainTrackNetPipeline(BasePipeline):
+    task = "tracknet"
+
+    def __init__(
+        self,
+        model: TrackNet,
+        tx: optax.GradientTransformation,
+        lr_scheduler: Optional[LRScheduler] = None,
+        lr_schedule_interval: int = 1,
+        model_name: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        mesh=None,
+        config_path: Optional[str] = None,
+        seed: int = 42,
+        sample_input_shape: Tuple[int, int, int] = (352, 640, 9),
+        tp_dist_tol: float = 4.0,
+        heatmap_threshold: int = 128,
+        decode: str = "centroid",  # "centroid" (on-device) | "hough" (cv2 parity)
+        hough_grad_config: Optional[Dict[str, Any]] = None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.lr_scheduler = lr_scheduler
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.tp_dist_tol = tp_dist_tol
+        self.heatmap_threshold = heatmap_threshold
+        self.decode = decode
+        self.hough_grad_config = hough_grad_config or {}
+        super().__init__(
+            model_name=model_name or type(model).__name__,
+            config_path=config_path,
+            lr_schedule_interval=lr_schedule_interval,
+            num_keypoints=None,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1,) + tuple(sample_input_shape), jnp.float32)
+        variables = model.init(key, dummy, train=False)
+        params = variables["params"]
+        scheme = model.config.get("weight_init", "uniform")
+        if scheme not in INIT_SCHEMES:
+            raise ValueError(
+                f"Only {sorted(INIT_SCHEMES)} init supported, got {scheme}")
+        params = INIT_SCHEMES[scheme](params, jax.random.fold_in(key, 1))
+        self.state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=0,
+        )
+
+        self._train_step = self._build_train_step()
+        self._eval_forward = self._build_eval_forward()
+
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+
+    # ----------------------------------------------------------- manifest
+    def _manifest(self, snapshot: bool) -> Dict[str, Any]:
+        net = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        manifest: Dict[str, Any] = {"LAST_EPOCH": self.last_epoch, "NETWORK_PARAMS": net}
+        if snapshot:
+            manifest["OPTIMIZER_PARAMS"] = self.state.opt_state
+            manifest["METRICS"] = {"TRAIN": self._train_metrics, "EVAL": self._eval_metrics}
+            if self.lr_scheduler:
+                manifest["LR_SCHEDULER_PARAMS"] = self.lr_scheduler.state_dict()
+        return manifest
+
+    def _restore(self, manifest: Dict[str, Any]):
+        net = manifest["NETWORK_PARAMS"]
+        params = jax.tree_util.tree_map(jnp.asarray, net["params"])
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, net.get("batch_stats", {}))
+        if "OPTIMIZER_PARAMS" in manifest:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, manifest["OPTIMIZER_PARAMS"])
+        else:
+            opt_state = self.tx.init(params)
+        if self.lr_scheduler and "LR_SCHEDULER_PARAMS" in manifest:
+            self.lr_scheduler.load_state_dict(manifest["LR_SCHEDULER_PARAMS"])
+        self.state = TrainState(params, batch_stats, opt_state, step=self.state.step)
+
+    # --------------------------------------------------------------- steps
+    def _build_train_step(self):
+        def per_shard(state: TrainState, lr, frames, heatmaps):
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+
+            def loss_fn(params):
+                logits, mut = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    frames, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                loss = softmax_cross_entropy(logits, heatmaps.astype(jnp.int32)).mean()
+                return loss, mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, DP_AXIS)
+            new_bs = jax.lax.pmean(new_bs, DP_AXIS)
+            loss = jax.lax.pmean(loss, DP_AXIS)
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = self.tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, new_bs, opt_state, state.step + 1), {"loss": loss}
+
+        def wrapper(state, lr, frames, heatmaps):
+            fn = shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(P(), P(), P(DP_AXIS), P(DP_AXIS)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return fn(state, lr, frames, heatmaps)
+
+        return jax.jit(wrapper, donate_argnums=(0,))
+
+    def _build_eval_forward(self):
+        def fwd(state: TrainState, frames, heatmaps):
+            logits = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                frames, train=False)
+            loss = softmax_cross_entropy(logits, heatmaps.astype(jnp.int32)).mean()
+            pred_hm = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            cx, cy, r, found = decode_heatmap_peaks(pred_hm, threshold=self.heatmap_threshold)
+            return loss, pred_hm, cx, cy, found
+
+        return jax.jit(fwd)
+
+    # ---------------------------------------------------------------- loop
+    def current_lr(self) -> float:
+        if self.lr_scheduler:
+            return self.lr_scheduler.get_lr()
+        return float(self.state.opt_state.hyperparams["learning_rate"])
+
+    def train(self, dataloader, verbose: bool = False,
+              steps_per_epoch: Optional[int] = None) -> float:
+        loss_sum, count = 0.0, 0
+        lr = jnp.float32(self.current_lr())
+        pbar = tqdm.tqdm(dataloader, total=len(dataloader), disable=not verbose)
+        for frames, heatmaps, _others in pbar:
+            self.state, metrics = self._train_step(
+                self.state, lr, jnp.asarray(frames), jnp.asarray(heatmaps))
+            loss_sum += float(metrics["loss"])
+            count += 1
+            if steps_per_epoch is not None and count >= steps_per_epoch:
+                break
+        loss = loss_sum / max(count, 1)
+        self._record("train", {"loss": loss}, verbose)
+        if self.lr_scheduler and (self.last_epoch % self.lr_schedule_interval == 0):
+            self.lr_scheduler.step()
+        self.last_epoch += 1
+        return loss
+
+    def evaluate(self, dataloader, verbose: bool = False) -> Dict[str, float]:
+        loss_sum, count = 0.0, 0
+        tp = np.zeros(4)
+        fp = np.zeros(4)
+        tn = np.zeros(4)
+        fn = np.zeros(4)
+        for frames, heatmaps, others in tqdm.tqdm(
+                dataloader, total=len(dataloader), disable=not verbose):
+            loss, pred_hm, cx, cy, found = self._eval_forward(
+                self.state, jnp.asarray(frames), jnp.asarray(heatmaps))
+            loss_sum += float(loss)
+            count += 1
+            if self.decode == "hough":
+                cx, cy, found = self._hough_decode(np.asarray(pred_hm))
+            else:
+                cx, cy, found = np.asarray(cx), np.asarray(cy), np.asarray(found)
+            for i in range(others.shape[0]):
+                visibility = int(others[i][0])
+                x_gt, y_gt = float(others[i][1]), float(others[i][2])
+                if found[i]:
+                    if visibility != 0:
+                        dist = np.hypot(cx[i] - x_gt, cy[i] - y_gt)
+                        tp[visibility] += dist <= self.tp_dist_tol
+                        fp[visibility] += dist > self.tp_dist_tol
+                    else:
+                        fp[visibility] += 1
+                else:
+                    if visibility != 0:
+                        fn[visibility] += 1
+                    else:
+                        tn[visibility] += 1
+        eps = 1e-8
+        precision = tp.sum() / (tp.sum() + fp.sum() + eps)
+        recall = tp.sum() / (tp[1:].sum() + tn[1:].sum() + fp[1:].sum() + fn[1:].sum() + eps)
+        f1 = (2 * precision * recall) / (precision + recall + eps)
+        metrics = dict(
+            loss=loss_sum / max(count, 1),
+            tp=tp.sum(), tn=tn.sum(), fp=fp.sum(), fn=fn.sum(),
+            precision=precision, recall=recall, f1=f1,
+        )
+        self._record("eval", metrics, verbose)
+        if verbose:
+            print(f"tp(vc0..3): {tp.astype(int)}  tn: {tn.astype(int)}  "
+                  f"fp: {fp.astype(int)}  fn: {fn.astype(int)}")
+        return metrics
+
+    def _hough_decode(self, pred_hms: np.ndarray):
+        """cv2.HoughCircles compatibility decoder (reference …:88-124)."""
+        import cv2
+        kwargs = dict(method=cv2.HOUGH_GRADIENT, dp=1, minDist=1, param1=50,
+                      param2=2, minRadius=2, maxRadius=7)
+        kwargs.update(self.hough_grad_config)
+        if isinstance(kwargs.get("method"), str):
+            kwargs["method"] = getattr(cv2, kwargs["method"])
+        cx = np.zeros(pred_hms.shape[0])
+        cy = np.zeros(pred_hms.shape[0])
+        found = np.zeros(pred_hms.shape[0], bool)
+        for i in range(pred_hms.shape[0]):
+            hm = pred_hms[i].copy()
+            hm[hm < self.heatmap_threshold] = 0
+            hm[hm >= self.heatmap_threshold] = 255
+            circles = cv2.HoughCircles(hm, **kwargs)
+            if circles is not None and len(circles) == 1:
+                cx[i], cy[i] = circles[0][0][0], circles[0][0][1]
+                found[i] = True
+        return cx, cy, found
