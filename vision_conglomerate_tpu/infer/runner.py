@@ -1,0 +1,317 @@
+"""Detection / segmentation inference driver.
+
+Re-design of /root/reference/inference_det.py + inference_seg.py for TPU:
+- the model forward + decode + NMS + (for segmentation) mask assembly run as
+  ONE jitted program per (batch, og_size) shape; only fixed-capacity
+  (<=K) results cross to host;
+- the deploy (RepVGG-fused) form of the network is used by default — the
+  reference defines reparameterisation but its shipped CLIs never invoke it
+  (detection.py:204-213 vs inference_det.py:286); here it is the default
+  serving path (disable with use_reparam=False);
+- ByteTrack association, drawing and CSV summaries remain host-side
+  (sequential per-frame logic, SURVEY §2.2).
+
+Output artifacts mirror the reference: outputs/<task>/<datetime>/ with
+img_<n>.png or video.mp4 + optional output.csv summary.
+"""
+import json
+import logging
+import os
+from datetime import datetime
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from ..data.inference import (
+    InferenceImgDataset,
+    InferenceVideoDataset,
+    SingleImgSample,
+)
+from ..models import DetectionNet, SegmentationNet
+from ..nn.reparam import reparameterize_params
+from ..ops.postprocess import assemble_instance_masks, postprocess_detections
+from ..tools.bytetrack import ByteTrack, Detections
+from ..train.checkpoint import load_checkpoint
+from ..utils.drawing import (
+    apply_bboxes,
+    apply_bboxes_from_tracks,
+    apply_keypoints,
+    apply_segments,
+    detection_summary_df,
+)
+from ..utils.labels import xyxy2xywh_np
+
+logger = logging.getLogger(__name__)
+
+
+def load_classmap(path: str) -> Optional[List[Dict[str, Any]]]:
+    """classmap/<task>/classmap.json; first entry (supercategory header)
+    skipped via [1:] (reference inference_det.py:189-192)."""
+    if os.path.isfile(path):
+        with open(path, "r") as f:
+            return json.load(f)[1:]
+    return None
+
+
+def load_detection_model(
+    weights_path: str,
+    model_config: Dict[str, Any],
+    task: str = "detection",
+    num_keypoints: Optional[int] = None,
+    use_reparam: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Rebuild the net from checkpoint + config; optionally derive the
+    RepVGG deploy form. Returns (model, variables, num_classes)."""
+    manifest = load_checkpoint(weights_path)
+    num_classes = int(manifest["NUM_CLASSES"])
+    net = manifest["NETWORK_PARAMS"]
+    params = net["params"]
+    batch_stats = net.get("batch_stats", {})
+
+    cls = SegmentationNet if task == "segmentation" else DetectionNet
+    if use_reparam:
+        params, batch_stats = reparameterize_params(params, batch_stats)
+    model = cls(
+        num_classes=num_classes,
+        config=model_config,
+        anchors=None,  # anchors ride in the checkpointed params
+        num_keypoints=num_keypoints,
+        deploy=use_reparam,
+        dtype=dtype,
+    )
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if batch_stats:
+        variables["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+    return model, variables, num_classes
+
+
+def _make_forward(model, variables, task: str):
+    @jax.jit
+    def fwd(imgs, og_hw):
+        return model.apply(variables, imgs, train=False, inference=True, og_size=None)
+
+    # og rescale must be static per og-size; wrap per og_size
+    cache = {}
+
+    def forward(imgs: np.ndarray, og_hw: Tuple[int, int]):
+        key = (imgs.shape, tuple(og_hw))
+        if key not in cache:
+            def f(x):
+                return model.apply(
+                    variables, x, train=False, inference=True, og_size=tuple(og_hw))
+            cache[key] = jax.jit(f)
+        return cache[key](jnp.asarray(imgs))
+
+    return forward
+
+
+def run_detection_inference(
+    path: str,
+    weights_path: str,
+    config: Dict[str, Any],
+    task: str = "detection",
+    batch_size: int = 32,
+    iou_threshold: float = 0.35,
+    score_threshold: float = 0.3,
+    fps: int = 30,
+    with_summary: bool = False,
+    tracked_classes: Optional[List[int]] = None,
+    frame_skips: int = 0,
+    box_allowance: float = 4.0,
+    save_og_size: bool = True,
+    use_reparam: bool = True,
+    max_detections: int = 300,
+    storage_path: Optional[str] = None,
+):
+    """End-to-end CLI driver (reference inference_det.py run/evaluate_frames,
+    :168-311). `save_og_size` implements the flag the reference documents in
+    its readme (readme.md:32) but never wired up: when False, outputs are
+    rendered at network resolution instead of the original image size."""
+    model_config = config["model_config"]
+    img_wh = tuple(config["train_config"]["img_config"]["img_wh"])
+    num_keypoints = model_config.get("num_keypoints") or None
+    num_masks = int(model_config.get("num_masks") or 0) if task == "segmentation" else 0
+
+    storage = storage_path or os.path.join(
+        "outputs", task, str(datetime.now()).replace(":", "_"))
+    os.makedirs(storage, exist_ok=True)
+    classmap = load_classmap(os.path.join("classmap", task, "classmap.json"))
+
+    is_video = False
+    if os.path.isdir(path):
+        img_ext = config["train_config"]["img_config"].get("img_ext", "png")
+        dataset = InferenceImgDataset(path, img_ext=img_ext, img_wh=img_wh)
+    elif os.path.isfile(path):
+        if path.endswith(("avi", "mkv", "mp4")):
+            is_video = True
+            dataset = InferenceVideoDataset(path, img_wh=img_wh, frame_skips=frame_skips)
+        elif path.endswith(("png", "jpg", "jpeg")):
+            dataset = SingleImgSample(path, img_wh)
+        else:
+            raise OSError(f"unsupported file type: {path}")
+    else:
+        raise OSError(f"{path} not found")
+
+    model, variables, num_classes = load_detection_model(
+        weights_path, model_config, task=task,
+        num_keypoints=num_keypoints, use_reparam=use_reparam)
+    forward = _make_forward(model, variables, task)
+
+    tracker = ByteTrack(
+        track_activation_threshold=0.35,
+        lost_track_buffer=30,
+        minimum_matching_threshold=0.85,
+        frame_rate=30,
+        minimum_consecutive_frames=1,
+    ) if is_video else None
+
+    colormap = np.random.randint(0, 255, size=(num_classes, 3))
+    vwriter = None
+    summaries = []
+    start_idx = 0
+
+    def batches():
+        if isinstance(dataset, SingleImgSample):
+            img, og = dataset[0]
+            yield np.stack([img]), np.stack([og])
+        elif isinstance(dataset, InferenceImgDataset):
+            buf_i, buf_o = [], []
+            for i in range(len(dataset)):
+                img, og = dataset[i]
+                if buf_o and og.shape != buf_o[0].shape:
+                    yield np.stack(buf_i), np.stack(buf_o)
+                    buf_i, buf_o = [], []
+                buf_i.append(img)
+                buf_o.append(og)
+                if len(buf_i) == batch_size:
+                    yield np.stack(buf_i), np.stack(buf_o)
+                    buf_i, buf_o = [], []
+            if buf_i:
+                yield np.stack(buf_i), np.stack(buf_o)
+        else:
+            buf_i, buf_o = [], []
+            for img, og in dataset:
+                buf_i.append(img)
+                buf_o.append(og)
+                if len(buf_i) == batch_size:
+                    yield np.stack(buf_i), np.stack(buf_o)
+                    buf_i, buf_o = [], []
+            if buf_i:
+                yield np.stack(buf_i), np.stack(buf_o)
+
+    for imgs, ogs in batches():
+        og_hw = (ogs.shape[1], ogs.shape[2]) if save_og_size else (imgs.shape[1], imgs.shape[2])
+        out = forward(imgs, og_hw)
+        protos = None
+        if task == "segmentation":
+            preds, protos = out
+        else:
+            preds = out
+        post = postprocess_detections(
+            preds,
+            num_classes=num_classes,
+            num_masks=num_masks,
+            num_keypoints=num_keypoints or 0,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+            box_allowance=box_allowance,
+            max_detections=max_detections,
+        )
+        inst_masks = None
+        if task == "segmentation":
+            inst_masks = np.asarray(assemble_instance_masks(
+                protos, post.mask_coefs, og_size=og_hw))
+
+        boxes_np = np.asarray(post.boxes_xyxy)
+        scores_np = np.asarray(post.scores)
+        classes_np = np.asarray(post.classes)
+        valid_np = np.asarray(post.valid)
+        kp_np = np.asarray(post.keypoints)
+
+        if is_video and vwriter is None:
+            h, w = (ogs.shape[1], ogs.shape[2]) if save_og_size else (imgs.shape[1], imgs.shape[2])
+            vwriter = cv2.VideoWriter(
+                os.path.join(storage, "video.mp4"),
+                fourcc=cv2.VideoWriter_fourcc(*"mp4v"), fps=fps, frameSize=(w, h))
+
+        for i in range(imgs.shape[0]):
+            frame_no = start_idx + i
+            v = valid_np[i]
+            boxes = np.concatenate(
+                [scores_np[i][:, None], classes_np[i][:, None].astype(np.float32),
+                 boxes_np[i]], axis=-1)[v]
+            kp = kp_np[i][v]
+            masks_i = inst_masks[i][v] if inst_masks is not None else None
+            if tracked_classes:
+                sel = np.isin(boxes[:, 1], tracked_classes)
+                boxes = boxes[sel]
+                kp = kp[sel]
+                if masks_i is not None:
+                    masks_i = masks_i[sel]
+            if boxes.shape[0] == 0:
+                logger.info(f"frame {frame_no} has no detected boxes")
+                if vwriter is not None:
+                    img = ogs[i] if save_og_size else (imgs[i] * 255).astype(np.uint8)
+                    vwriter.write(cv2.cvtColor(np.ascontiguousarray(img), cv2.COLOR_RGB2BGR))
+                continue
+            img = ogs[i] if save_og_size else (imgs[i] * 255).astype(np.uint8)
+            img = np.ascontiguousarray(img)
+            draw_kwargs = dict(colormap=colormap, box_thickness=2,
+                               text_thickness=1, classmap=classmap)
+
+            if masks_i is not None and masks_i.shape[0] > 0:
+                img = apply_segments(img, masks_i.astype(np.uint8))
+
+            if tracker is None:
+                img = apply_bboxes(img, boxes, **draw_kwargs)
+                out_boxes = boxes
+                if kp.shape[-2:] != (0, 3) and kp.size:
+                    img = apply_keypoints(img, kp.reshape(-1, 3))
+            else:
+                det = Detections(
+                    xyxy=boxes[:, 2:], confidence=boxes[:, 0],
+                    class_id=boxes[:, 1].astype(int))
+                det = tracker.update_with_detections(det)
+                if len(det) == 0:
+                    logger.info(f"frame {frame_no} has no tracked detections")
+                    if vwriter is not None:
+                        vwriter.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+                    continue
+                tracks = np.concatenate([
+                    det.tracker_id[:, None].astype(np.float32),
+                    det.confidence[:, None],
+                    det.class_id[:, None].astype(np.float32),
+                    det.xyxy], axis=-1)
+                img, out_boxes = apply_bboxes_from_tracks(img, tracks, **draw_kwargs)
+
+            if with_summary and out_boxes is not None and len(out_boxes):
+                out_boxes = np.array(out_boxes, dtype=np.float64, copy=True)
+                out_boxes[:, -4:] = xyxy2xywh_np(out_boxes[:, -4:])
+                df = detection_summary_df(out_boxes, classmap=classmap)
+                if df is not None:
+                    df.insert(0, "frame", np.full(df.shape[0], frame_no, dtype=int))
+                    summaries.append(df)
+
+            if vwriter is None:
+                from PIL import Image
+                Image.fromarray(img).save(os.path.join(storage, f"img_{frame_no}.png"))
+            else:
+                vwriter.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        start_idx += imgs.shape[0]
+
+    if vwriter is not None:
+        vwriter.release()
+    if summaries:
+        import pandas as pd
+        pd.concat(summaries, axis=0).to_csv(os.path.join(storage, "output.csv"), index=False)
+    logger.info(f"outputs written to {storage}")
+    return storage
