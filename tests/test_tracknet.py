@@ -1,0 +1,148 @@
+"""TrackNet tests: dataset windows, both architectures, train/eval loop,
+video inference driver."""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+BASE_CONFIG = {
+    "weight_init": "uniform",
+    "architecture": "base",
+    "base_arch_config": {
+        "encoder_config": {"width_multiple": 0.25},
+        "decoder_config": {"width_multiple": 0.25},
+    },
+}
+
+ADV_CONFIG = {
+    "weight_init": "xavier",
+    "architecture": "advanced",
+    "advanced_arch_config": {
+        "encoder_modules": ["CSPNet", "RepBiPAN"],
+        "decoder_modules": ["DeconvRepBiPAN", "DeconvCSPNet"],
+        "encoder_config": {
+            "cspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+            "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+        },
+        "decoder_config": {
+            "deconvrepbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+            "deconvcspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+        },
+    },
+}
+
+
+def _write_clip(root, n_frames=6, size=(64, 32), seed=0):
+    """data/<game>/Clip1/{frames + Label.csv} (reference layout)."""
+    rng = np.random.default_rng(seed)
+    clip = os.path.join(root, "game1", "Clip1")
+    os.makedirs(clip, exist_ok=True)
+    rows = []
+    for i in range(n_frames):
+        img = (rng.uniform(size=(size[1], size[0], 3)) * 255).astype(np.uint8)
+        name = f"{i:04d}.jpg"
+        Image.fromarray(img).save(os.path.join(clip, name))
+        rows.append({"file name": name, "visibility": 1,
+                     "x-coordinate": 20 + i, "y-coordinate": 10 + i, "status": 0})
+    pd.DataFrame(rows).to_csv(os.path.join(clip, "Label.csv"), index=False)
+    return clip
+
+
+def test_tracknet_dataset_windows(tmp_path):
+    from vision_conglomerate_tpu.data import TrackNetDataset
+
+    root = str(tmp_path / "tn")
+    _write_clip(root, n_frames=6)
+    ds = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32), avg_diameter=5)
+    assert len(ds) == 4  # 6 frames -> 4 windows
+    frames, heatmap, others = ds[0]
+    assert frames.shape == (32, 64, 9)
+    assert heatmap.shape == (32, 64)
+    assert heatmap.dtype == np.uint8
+    assert heatmap.max() > 200  # gaussian peak
+    vis, x, y, status = others
+    assert vis == 1
+
+
+@pytest.mark.parametrize("config", [BASE_CONFIG, ADV_CONFIG],
+                         ids=["base", "advanced"])
+def test_tracknet_forward_shapes(config):
+    import jax
+    import jax.numpy as jnp
+
+    from vision_conglomerate_tpu.models import TrackNet
+
+    model = TrackNet(config=config)
+    x = jnp.zeros((1, 32, 64, 9))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 64, 256)
+    hm = model.apply(variables, x, train=False, inference=True)
+    assert hm.shape == (1, 32, 64) and hm.dtype == jnp.uint8
+
+
+def test_tracknet_train_eval(tmp_path):
+    from vision_conglomerate_tpu.data import DataLoader, TrackNetDataset
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainTrackNetPipeline, make_optimizer
+
+    root = str(tmp_path / "tn")
+    _write_clip(root, n_frames=8)
+    ds = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32))
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2, drop_last=True)
+
+    model = TrackNet(config=BASE_CONFIG)
+    tx, _ = make_optimizer({"name": "Adadelta", "lr": 1.0, "rho": 0.9, "eps": 1e-6})
+    pipe = TrainTrackNetPipeline(
+        model, tx, mesh=make_mesh(1), sample_input_shape=(32, 64, 9))
+    l1 = pipe.train(dl, steps_per_epoch=2)
+    assert np.isfinite(l1)
+    metrics = pipe.evaluate(dl)
+    assert set(metrics) >= {"loss", "tp", "fp", "tn", "fn", "precision", "recall", "f1"}
+    # steps_per_epoch cap respected
+    l2 = pipe.train(dl, steps_per_epoch=1)
+    assert np.isfinite(l2)
+
+
+def test_tracknet_inference_video(tmp_path, monkeypatch):
+    import cv2
+
+    from vision_conglomerate_tpu.data import TrackNetDataset
+    from vision_conglomerate_tpu.infer.tracknet_runner import run_tracknet_inference
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainTrackNetPipeline, make_optimizer
+
+    monkeypatch.chdir(tmp_path)
+    # tiny video
+    vid_path = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        w.write((rng.uniform(size=(32, 64, 3)) * 255).astype(np.uint8))
+    w.release()
+
+    model = TrackNet(config=BASE_CONFIG)
+    tx, _ = make_optimizer({"name": "Adadelta", "lr": 1.0})
+    pipe = TrainTrackNetPipeline(model, tx, mesh=make_mesh(1),
+                                 sample_input_shape=(32, 64, 9))
+    pipe.best_model_dir = str(tmp_path / "best")
+    pipe.save_best_model()
+    weights = str(tmp_path / "best" / "TrackNet.ckpt.tar")
+
+    config = {
+        "model_config": BASE_CONFIG,
+        "train_config": {
+            "img_config": {"img_wh": [64, 32], "num_stacks": 3},
+            "heatmap_threshold": 128,
+        },
+    }
+    storage = run_tracknet_inference(
+        path=vid_path, weights_path=weights, config=config,
+        batch_size=4, with_summary=True, storage_path=str(tmp_path / "out"))
+    assert os.path.exists(os.path.join(storage, "video.mp4"))
+    assert os.path.exists(os.path.join(storage, "output.csv"))
