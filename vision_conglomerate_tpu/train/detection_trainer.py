@@ -28,6 +28,7 @@ from ..nn.initializers import INIT_SCHEMES
 from ..parallel.mesh import DP_AXIS, make_mesh, shard_map
 from jax.sharding import PartitionSpec as P
 
+from ..utils.profiling import StepTimer
 from .base import BasePipeline
 from .lr_schedule import LRScheduler
 from .optim import set_learning_rate
@@ -199,14 +200,17 @@ class TrainDetectionPipeline(BasePipeline):
         lr = jnp.float32(self.current_lr())
         metrics_sum: Dict[str, float] = {}
         count = 0
+        timer = StepTimer()
         pbar = tqdm.tqdm(dataloader, total=len(dataloader), disable=not verbose)
         for batch in pbar:
             batch = self._device_batch(batch)
             self.state, metrics = step_fn(self.state, lr, *batch)
             for key, val in metrics.items():
                 metrics_sum[key] = metrics_sum.get(key, 0.0) + float(val)
+            timer.tick(batch[0].shape[0])
             count += 1
         metrics_avg = {k: v / max(count, 1) for k, v in metrics_sum.items()}
+        metrics_avg["images_per_sec"] = timer.images_per_sec
         self._record(mode, metrics_avg, verbose)
         return metrics_avg
 

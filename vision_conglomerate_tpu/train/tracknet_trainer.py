@@ -167,18 +167,23 @@ class TrainTrackNetPipeline(BasePipeline):
 
     def train(self, dataloader, verbose: bool = False,
               steps_per_epoch: Optional[int] = None) -> float:
+        from ..utils.profiling import StepTimer
+
         loss_sum, count = 0.0, 0
         lr = jnp.float32(self.current_lr())
+        timer = StepTimer()
         pbar = tqdm.tqdm(dataloader, total=len(dataloader), disable=not verbose)
         for frames, heatmaps, _others in pbar:
             self.state, metrics = self._train_step(
                 self.state, lr, jnp.asarray(frames), jnp.asarray(heatmaps))
             loss_sum += float(metrics["loss"])
+            timer.tick(frames.shape[0])
             count += 1
             if steps_per_epoch is not None and count >= steps_per_epoch:
                 break
         loss = loss_sum / max(count, 1)
-        self._record("train", {"loss": loss}, verbose)
+        self._record("train", {"loss": loss, "images_per_sec": timer.images_per_sec},
+                     verbose)
         if self.lr_scheduler and (self.last_epoch % self.lr_schedule_interval == 0):
             self.lr_scheduler.step()
         self.last_epoch += 1
