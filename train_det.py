@@ -53,7 +53,10 @@ def run(args, config, config_path, anchors_path):
 
     from vision_conglomerate_tpu.losses import DetectionLossConfig
     from vision_conglomerate_tpu.models import DetectionNet
-    from vision_conglomerate_tpu.parallel import make_mesh, process_is_primary
+    from vision_conglomerate_tpu.parallel import (
+        make_mesh, maybe_initialize_distributed, process_is_primary)
+
+    maybe_initialize_distributed()
     from vision_conglomerate_tpu.tools import generate_anchors_and_class_weights
     from vision_conglomerate_tpu.train import (
         TrainDetectionPipeline, make_lr_scheduler, make_optimizer)
@@ -122,11 +125,15 @@ def run(args, config, config_path, anchors_path):
         sample_input_shape=(img_wh[1], img_wh[0], 3),
     )
 
+    from vision_conglomerate_tpu.utils.profiling import trace
+
     best_loss = float("inf")
     verbose = not args.no_verbose
     for epoch in range(pipeline.last_epoch, args.epochs):
         logger.info(f"epoch {epoch + 1}/{args.epochs}")
-        pipeline.train(train_dl, verbose=verbose)
+        # profile only the first trained epoch (trace files are large)
+        with trace(args.profile_dir if epoch == pipeline.last_epoch else None):
+            pipeline.train(train_dl, verbose=verbose)
         if ((epoch + 1) % args.eval_interval == 0) or (epoch + 1 == args.epochs):
             metrics = pipeline.evaluate(eval_dl, verbose=verbose)
             if metrics["aggregate_loss"] < best_loss:
@@ -152,6 +159,7 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint_path", type=str, default="", metavar="", help="Resume from this checkpoint")
     parser.add_argument("--config_path", type=str, default="configs/detection/config.yaml", metavar="", help="Config YAML path")
     parser.add_argument("--anchors_path", type=str, default="configs/detection/anchors.yaml", metavar="", help="Anchors YAML path")
+    parser.add_argument("--profile_dir", type=str, default="", metavar="", help="Write a jax.profiler trace of the first epoch here")
     args = parser.parse_args()
 
     np.random.seed(42)

@@ -99,6 +99,16 @@ class DetectionDataset:
             classes.extend(boxes[:, 0].tolist())
         return get_class_weights(classes).astype(np.float32)
 
+    @staticmethod
+    def save_label_map(class2idx_map: dict, _dir: str):
+        """Persist idx->class json (reference detection_dataset.py:72-79)."""
+        import json
+
+        os.makedirs(_dir, exist_ok=True)
+        idx2class = {v: k for k, v in class2idx_map.items()}
+        with open(os.path.join(_dir, "class_map.json"), "w") as f:
+            json.dump(idx2class, f)
+
     # ---------------------------------------------------------- collate
     def collate_fn(self, batch):
         """Stack images; pad labels to (B, max_labels, C) + validity mask.

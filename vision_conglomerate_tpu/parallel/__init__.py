@@ -4,4 +4,5 @@ from .mesh import (  # noqa: F401
     shard_batch,
     replicate,
     process_is_primary,
+    maybe_initialize_distributed,
 )

@@ -36,6 +36,19 @@ shard_map = jax.shard_map
 DP_AXIS = "dp"
 
 
+def maybe_initialize_distributed():
+    """Multi-host bring-up: jax.distributed.initialize() when launched under a
+    multi-process coordinator (replaces torchrun+NCCL process groups,
+    reference utils/ddp_utils.py:7-8). No-op for single-host runs."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception:  # already initialized or single-process
+            pass
+
+
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """1-D data-parallel mesh over the first n devices (default: all)."""
     if devices is None:
