@@ -46,6 +46,7 @@ class AssignResult(NamedTuple):
     keypoints: jnp.ndarray   # (N, E) pass-through extras (grid-scaled xy)
     valid: jnp.ndarray       # (N,) bool
     label_slot: jnp.ndarray  # (N,) int32 — source row m in the padded labels
+    priority: jnp.ndarray    # (N,) int32 — reference write order (see below)
 
 
 def assign_targets_to_scale(
@@ -123,6 +124,20 @@ def assign_targets_to_scale(
     else:
         tmask = label_slot
 
+    # Reference candidate enumeration order (for last-write-wins scatter
+    # parity): build_target_by_scale flattens (offset-major, then
+    # anchor-major, then concat-target order) — targets.repeat(5,1,1)[mask]
+    # over an (anchors, targets) layout (detection_dataset.py:127,191,207).
+    offset_idx = jnp.broadcast_to(
+        jnp.arange(NUM_OFFSETS, dtype=jnp.int32)[None, None, None, :],
+        (b, m, a, NUM_OFFSETS))
+    priority = (
+        offset_idx * (a * b * m)
+        + anchor_idx * (b * m)
+        + batch_idx * m
+        + label_slot
+    )
+
     n = b * m * a * NUM_OFFSETS
     flat = lambda t, tail=(): t.reshape((n,) + tail)  # noqa: E731
     return AssignResult(
@@ -137,4 +152,5 @@ def assign_targets_to_scale(
         keypoints=flat(extras_b, (e,)),
         valid=flat(valid),
         label_slot=flat(label_slot),
+        priority=flat(priority),
     )

@@ -92,12 +92,23 @@ def scale_loss(
     ciou = compute_ciou(p_xywh, safe_t)
     ciou_loss = masked_mean(1.0 - ciou, valid)
 
-    # ---- conf loss: target grid = detached ciou at positives
+    # ---- conf loss: target grid = detached ciou at positives.
+    # Duplicate (b, gj, gi, a) cells follow the reference's LAST-write-wins
+    # order (torch index_put): a scatter-max of the write priority picks the
+    # winning candidate per cell, then only winners write their ciou — a
+    # deterministic, order-exact formulation of the in-place assignment.
     ciou_d = jax.lax.stop_gradient(ciou)
     safe_b = jnp.where(valid, asn.batch_idx, b)  # invalid rows -> dropped
+    idx = (safe_b, asn.grid_j, asn.grid_i, asn.anchor_idx)
+    pr_grid = (
+        jnp.full((b + 1, ny, nx, na), -1, jnp.int32)
+        .at[idx].max(asn.priority, mode="drop")
+    )
+    is_winner = valid & (pr_grid[idx] == asn.priority)
+    win_b = jnp.where(is_winner, asn.batch_idx, b)
     t_conf = (
         jnp.zeros((b + 1, ny, nx, na), jnp.float32)
-        .at[safe_b, asn.grid_j, asn.grid_i, asn.anchor_idx]
+        .at[win_b, asn.grid_j, asn.grid_i, asn.anchor_idx]
         .set(ciou_d, mode="drop")[:b]
     )
     p_conf = preds[..., 0].astype(jnp.float32)
