@@ -1,0 +1,122 @@
+"""Auto-anchor tool + ByteTrack tests (incl. fitness-metric parity with the
+reference implementation run via torch-CPU)."""
+import numpy as np
+import pytest
+
+from vision_conglomerate_tpu.tools import (
+    ByteTrack,
+    Detections,
+    cluster_anchors_w_mutation,
+    ratio_metrics,
+    ratio_metrics_w_extras,
+)
+
+from tests.test_loss_parity import ref_modules  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def ref_make_anchors(ref_modules):  # noqa: F811
+    # ref_modules installs the import stubs + sys.path entry
+    from utils import make_anchors as ref_ma
+    return ref_ma
+
+
+def test_ratio_metrics_parity(ref_make_anchors):
+    import torch
+    rng = np.random.default_rng(0)
+    wh = rng.uniform(0.02, 0.5, size=(200, 2)).astype(np.float32)
+    anchors = rng.uniform(0.05, 0.4, size=(9, 2)).astype(np.float32)
+    ref_score = ref_make_anchors.ratio_metrics(
+        torch.from_numpy(anchors), torch.from_numpy(wh), 4.0)
+    ours = ratio_metrics(anchors, wh, 4.0)
+    assert ours == pytest.approx(ref_score, rel=1e-5)
+    ref_s, ref_bpr, ref_aat = ref_make_anchors.ratio_metrics_w_extras(
+        torch.from_numpy(anchors), torch.from_numpy(wh), 4.0)
+    s, bpr, aat = ratio_metrics_w_extras(anchors, wh, 4.0)
+    assert (s, bpr, aat) == pytest.approx((ref_s, ref_bpr, ref_aat), rel=1e-5)
+
+
+def test_cluster_anchors_improves_fit():
+    rng = np.random.default_rng(1)
+    # two clusters of box sizes
+    wh = np.concatenate([
+        rng.normal([0.1, 0.1], 0.01, size=(100, 2)),
+        rng.normal([0.4, 0.3], 0.02, size=(100, 2)),
+    ]).clip(0.01, 1.0)
+    anchors, score, bpr, aat = cluster_anchors_w_mutation(
+        wh, num_anchors=9, num_generations=20, kmeans_iter=10, verbose=False)
+    assert anchors.shape == (9, 2)
+    assert bpr == pytest.approx(1.0)
+    assert score > 0.6
+    # sorted by area
+    areas = anchors.prod(-1)
+    assert (np.diff(areas) >= -1e-9).all()
+
+
+def test_generate_anchors_keeps_good_predefined(tmp_path):
+    from vision_conglomerate_tpu.tools import generate_anchors_and_class_weights
+
+    root = tmp_path / "labels"
+    root.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(5):
+        lines = []
+        for _ in range(4):
+            wh = rng.normal([0.2, 0.2], 0.01, 2).clip(0.05, 0.9)
+            lines.append(f"{rng.integers(0, 2)} 0.5 0.5 {wh[0]:.4f} {wh[1]:.4f}")
+        (root / f"f{i}.txt").write_text("\n".join(lines))
+    predefined = {
+        "sm": [[0.18, 0.18], [0.19, 0.2], [0.2, 0.2]],
+        "md": [[0.2, 0.21], [0.21, 0.2], [0.21, 0.21]],
+        "lg": [[0.21, 0.22], [0.22, 0.21], [0.22, 0.22]],
+    }
+    anchors, class_weights = generate_anchors_and_class_weights(
+        str(root), predefined, verbose=False, update_anchors_cfg=False)
+    assert anchors.shape == (3, 3, 2)
+    np.testing.assert_allclose(anchors.reshape(9, 2)[0], predefined["sm"][0])
+    assert class_weights.shape == (2,)
+
+
+def test_bytetrack_basic_tracking():
+    tracker = ByteTrack(track_activation_threshold=0.3,
+                        minimum_consecutive_frames=1)
+    # one object moving right 5 px/frame
+    ids = []
+    for t in range(5):
+        x = 10 + 5 * t
+        det = Detections(
+            xyxy=np.asarray([[x, 10, x + 20, 30]], np.float32),
+            confidence=np.asarray([0.9], np.float32),
+            class_id=np.asarray([0]))
+        out = tracker.update_with_detections(det)
+        assert len(out) == 1
+        ids.append(int(out.tracker_id[0]))
+    assert len(set(ids)) == 1  # stable identity
+
+    # second object appears -> new id
+    det = Detections(
+        xyxy=np.asarray([[40, 10, 60, 30], [200, 200, 240, 240]], np.float32),
+        confidence=np.asarray([0.9, 0.8], np.float32),
+        class_id=np.asarray([0, 1]))
+    out = tracker.update_with_detections(det)
+    assert len(out) == 2
+    assert len(set(out.tracker_id.tolist())) == 2
+
+
+def test_bytetrack_survives_missed_frame():
+    tracker = ByteTrack(track_activation_threshold=0.3, lost_track_buffer=30)
+    mk = lambda x, s=0.9: Detections(  # noqa: E731
+        xyxy=np.asarray([[x, 10, x + 20, 30]], np.float32),
+        confidence=np.asarray([s], np.float32), class_id=np.asarray([0]))
+    id0 = int(tracker.update_with_detections(mk(10)).tracker_id[0])
+    # missed frame (no detections)
+    empty = Detections(xyxy=np.zeros((0, 4), np.float32),
+                       confidence=np.zeros(0, np.float32),
+                       class_id=np.zeros(0, int))
+    tracker.update_with_detections(empty)
+    out = tracker.update_with_detections(mk(20))
+    assert int(out.tracker_id[0]) == id0  # re-associated, same id
+
+    # low-score detection keeps the track alive (the ByteTrack trick)
+    out = tracker.update_with_detections(mk(25, s=0.15))
+    assert len(out) == 1 and int(out.tracker_id[0]) == id0
