@@ -53,6 +53,28 @@ def test_detection_net_reparam_equivalence():
         np.asarray(y_train_form), np.asarray(y_deploy), atol=2e-3, rtol=1e-3)
 
 
+def test_detection_net_full_bn_folding_equivalence():
+    """deploy_transform (RepVGG fusion + global conv-BN folding) ==
+    train-form eval outputs."""
+    from vision_conglomerate_tpu.nn.blocks import bn_folding
+    from vision_conglomerate_tpu.nn.reparam import deploy_transform
+
+    model = DetectionNet(num_classes=2, config=CONFIG, anchors=ANCHORS)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = _train_some(model, variables, x)
+    y_ref = model.apply(variables, x, train=False, inference=True)
+
+    dp, ds = deploy_transform(variables["params"], variables["batch_stats"])
+    deploy = DetectionNet(num_classes=2, config=CONFIG, anchors=ANCHORS, deploy=True)
+    dv = {"params": dp}
+    if ds:
+        dv["batch_stats"] = ds
+    with bn_folding():
+        y = deploy.apply(dv, x, train=False, inference=True)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y), atol=2e-3, rtol=1e-3)
+
+
 def test_tracknet_advanced_reparam_equivalence():
     cfg = {
         "weight_init": "xavier",

@@ -43,7 +43,7 @@ def make_dataloader(dataset, batch_size, config, shuffle=None, seed=42):
     return DataLoader(
         dataset, batch_size=batch_size, shuffle=shuffle,
         num_workers=int(dl_cfg.get("num_workers", 8) or 8),
-        drop_last=True, seed=seed,
+        pad_last="wrap", seed=seed,
     )
 
 

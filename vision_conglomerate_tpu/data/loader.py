@@ -25,6 +25,9 @@ class DataLoader:
         collate_fn: Optional[Callable] = None,
         num_workers: int = 8,
         drop_last: bool = False,
+        pad_last: str = "none",  # "none" | "wrap": fill the final partial
+        # batch with samples wrapped from the epoch start, so every batch has
+        # the same (jit-stable, mesh-divisible) shape
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -33,17 +36,26 @@ class DataLoader:
         self.collate_fn = collate_fn or getattr(dataset, "collate_fn")
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset) / self.batch_size
+        if self.pad_last == "wrap":
+            return max(1, math.ceil(n))
         return math.floor(n) if self.drop_last else math.ceil(n)
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.pad_last == "wrap":
+            total = len(self)
+            need = total * self.batch_size
+            if need > order.size:
+                order = np.concatenate(
+                    [order, np.resize(order, need - order.size)])
         self._epoch += 1
 
         n_batches = len(self)

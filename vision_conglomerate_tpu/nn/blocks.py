@@ -14,6 +14,8 @@ Conventions:
 - submodule attribute names mirror the reference classes so checkpoints and
   the RepVGG re-parameterisation transform address the same tree paths.
 """
+import contextlib
+import contextvars
 import math
 from typing import Any, Optional, Sequence, Tuple, Union
 
@@ -24,6 +26,25 @@ import flax.linen as nn
 from ..ops.resize import resize_nhwc
 
 Dtype = Any
+
+# Deploy-time BatchNorm folding: when active, ConvBNorm/ConvTransposeBNorm
+# skip their norm entirely — the params are expected to have been transformed
+# by nn.reparam.fold_conv_bn_params (BN folded into conv kernel+bias). This
+# removes every BN elementwise pass + f32 round-trip from the serving path.
+_FOLD_BN = contextvars.ContextVar("vct_fold_bn", default=False)
+
+
+@contextlib.contextmanager
+def bn_folding(enabled: bool = True):
+    token = _FOLD_BN.set(enabled)
+    try:
+        yield
+    finally:
+        _FOLD_BN.reset(token)
+
+
+def bn_folding_active() -> bool:
+    return _FOLD_BN.get()
 
 
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
@@ -106,7 +127,7 @@ class ConvBNorm(nn.Module):
             name="conv",
         )(x)
         act = get_activation(self.activation)
-        if self.no_batchnorm:
+        if self.no_batchnorm or (bn_folding_active() and self.batchnorm_first):
             return act(x).astype(self.dtype)
         norm = BatchNorm(name="norm")
         if self.batchnorm_first:
@@ -148,7 +169,7 @@ class ConvTransposeBNorm(nn.Module):
             name="conv_transpose",
         )(x)
         act = get_activation(self.activation)
-        if self.no_batchnorm:
+        if self.no_batchnorm or (bn_folding_active() and self.batchnorm_first):
             return act(x).astype(self.dtype)
         norm = BatchNorm(name="norm")
         if self.batchnorm_first:

@@ -66,6 +66,81 @@ def _fuse_block(p: Dict[str, Any], s: Dict[str, Any]) -> Tuple[Dict[str, Any], j
     return {"conv_reparam": {"kernel": w, "bias": b}}
 
 
+def _is_conv_bn_params(node: Any) -> bool:
+    if not isinstance(node, dict) or "norm" not in node:
+        return False
+    conv = node.get("conv") or node.get("conv_transpose")
+    return (
+        isinstance(conv, dict)
+        and "kernel" in conv
+        and getattr(conv["kernel"], "ndim", 0) == 4
+        and isinstance(node["norm"], dict)
+        and "BatchNorm_0" in node["norm"]
+    )
+
+
+def fold_conv_bn_params(params: Dict[str, Any], batch_stats: Dict[str, Any]):
+    """Fold every ConvBNorm/ConvTransposeBNorm's BatchNorm into its conv.
+
+    Deploy-time transform beyond RepVGG: BN with running stats is an affine
+    per-channel map, so conv -> BN -> act becomes conv' -> act with
+    w' = w * gamma/std and b' = (b - mean) * gamma/std + beta. The resulting
+    params are applied under `nn.blocks.bn_folding()` (which makes the
+    modules skip their norm). Only valid for batchnorm_first=True modules —
+    every ConvBNorm in this model zoo (matching the reference defaults).
+
+    Returns (folded_params, remaining_batch_stats).
+    """
+
+    def fold_one(p, s):
+        conv_key = "conv" if "conv" in p else "conv_transpose"
+        conv = dict(p[conv_key])
+        kernel = conv["kernel"]
+        bnp = p["norm"]["BatchNorm_0"]
+        bns = s["norm"]["BatchNorm_0"]
+        gamma = bnp["scale"]
+        beta = bnp["bias"]
+        mu = bns["mean"]
+        std = jnp.sqrt(bns["var"] + BN_EPS)
+        conv["kernel"] = kernel * (gamma / std)
+        bias = conv.get("bias", jnp.zeros_like(mu))
+        conv["bias"] = (bias - mu) * (gamma / std) + beta
+        out = {k: v for k, v in p.items() if k != "norm"}
+        out[conv_key] = conv
+        return out
+
+    def recurse(p, s):
+        new_p, new_s = {}, {}
+        for key, val in p.items():
+            sval = s.get(key, {}) if isinstance(s, dict) else {}
+            if _is_conv_bn_params(val):
+                new_p[key] = fold_one(val, sval)
+            elif isinstance(val, dict):
+                rp, rs = recurse(val, sval)
+                new_p[key] = rp
+                if rs:
+                    new_s[key] = rs
+            else:
+                new_p[key] = val
+        if isinstance(s, dict):
+            for key, val in s.items():
+                if key not in p:
+                    new_s[key] = val
+        return new_p, new_s
+
+    return recurse(params, batch_stats)
+
+
+def deploy_transform(params: Dict[str, Any], batch_stats: Dict[str, Any]):
+    """Full serving transform: RepVGG branch fusion + global conv-BN folding.
+
+    Apply the resulting params with the model built with deploy=True AND
+    under `nn.blocks.bn_folding()`.
+    """
+    p, s = reparameterize_params(params, batch_stats)
+    return fold_conv_bn_params(p, s)
+
+
 def reparameterize_params(params: Dict[str, Any], batch_stats: Dict[str, Any]):
     """Transform train-form variables to deploy-form.
 
