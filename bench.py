@@ -26,7 +26,8 @@ def main():
 
     from __graft_entry__ import ANCHORS, DET_CONFIG
     from vision_conglomerate_tpu.models import DetectionNet
-    from vision_conglomerate_tpu.nn.reparam import reparameterize_params
+    from vision_conglomerate_tpu.nn.blocks import bn_folding
+    from vision_conglomerate_tpu.nn.reparam import deploy_transform
     from vision_conglomerate_tpu.ops.postprocess import postprocess_detections
 
     num_classes = 2
@@ -34,7 +35,7 @@ def main():
         num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
     variables = train_model.init(jax.random.PRNGKey(0), x0, train=False)
-    dparams, dstats = reparameterize_params(variables["params"], variables["batch_stats"])
+    dparams, dstats = deploy_transform(variables["params"], variables["batch_stats"])
     model = DetectionNet(
         num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS,
         deploy=True, dtype=jnp.bfloat16)
@@ -44,7 +45,8 @@ def main():
 
     @jax.jit
     def serve(x):
-        preds = model.apply(deploy_vars, x, train=False, inference=True)
+        with bn_folding():
+            preds = model.apply(deploy_vars, x, train=False, inference=True)
         return postprocess_detections(
             preds, num_classes=num_classes,
             iou_threshold=0.35, score_threshold=0.3,

@@ -36,7 +36,8 @@ from ..data.inference import (
     SingleImgSample,
 )
 from ..models import DetectionNet, SegmentationNet
-from ..nn.reparam import reparameterize_params
+from ..nn.blocks import bn_folding
+from ..nn.reparam import deploy_transform
 from ..ops.postprocess import assemble_instance_masks, postprocess_detections
 from ..tools.bytetrack import ByteTrack, Detections
 from ..train.checkpoint import load_checkpoint
@@ -79,7 +80,8 @@ def load_detection_model(
 
     cls = SegmentationNet if task == "segmentation" else DetectionNet
     if use_reparam:
-        params, batch_stats = reparameterize_params(params, batch_stats)
+        # full deploy transform: RepVGG branch fusion + global conv-BN folding
+        params, batch_stats = deploy_transform(params, batch_stats)
     model = cls(
         num_classes=num_classes,
         config=model_config,
@@ -94,20 +96,18 @@ def load_detection_model(
     return model, variables, num_classes
 
 
-def _make_forward(model, variables, task: str):
-    @jax.jit
-    def fwd(imgs, og_hw):
-        return model.apply(variables, imgs, train=False, inference=True, og_size=None)
-
-    # og rescale must be static per og-size; wrap per og_size
+def _make_forward(model, variables, folded: bool):
+    # og rescale is static per og-size; cache one jitted program per
+    # (batch shape, og size)
     cache = {}
 
     def forward(imgs: np.ndarray, og_hw: Tuple[int, int]):
         key = (imgs.shape, tuple(og_hw))
         if key not in cache:
             def f(x):
-                return model.apply(
-                    variables, x, train=False, inference=True, og_size=tuple(og_hw))
+                with bn_folding(folded):
+                    return model.apply(
+                        variables, x, train=False, inference=True, og_size=tuple(og_hw))
             cache[key] = jax.jit(f)
         return cache[key](jnp.asarray(imgs))
 
@@ -164,7 +164,7 @@ def run_detection_inference(
     model, variables, num_classes = load_detection_model(
         weights_path, model_config, task=task,
         num_keypoints=num_keypoints, use_reparam=use_reparam)
-    forward = _make_forward(model, variables, task)
+    forward = _make_forward(model, variables, folded=use_reparam)
 
     tracker = ByteTrack(
         track_activation_threshold=0.35,
