@@ -59,6 +59,11 @@ def decode_scale(
     Inference: xy/wh mapped to input pixels.
     """
     _, ny, nx, _, _ = scale_pred.shape
+    if inference:
+        # decode in f32: bf16's 8-bit mantissa would quantize 640-px box
+        # coordinates to ~2px. The head outputs are small (B, ny, nx, A, D)
+        # so the upcast is cheap.
+        scale_pred = scale_pred.astype(jnp.float32)
     bbox_i = num_classes + 1
     bbox_j = bbox_i + 4
     kp_i = bbox_j + num_masks
