@@ -1,1 +1,1 @@
-from . import boxes, nms, resize, heatmap, metrics, masks  # noqa: F401
+from . import boxes, nms, resize, heatmap, metrics, masks, postprocess, preprocess  # noqa: F401
