@@ -58,6 +58,20 @@ def _greedy_keep(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> 
     return keep
 
 
+def _nms_prefilter(boxes, scores, classes, score_threshold, pre_nms_topk,
+                   class_agnostic, class_offset):
+    n = boxes.shape[0]
+    p = min(pre_nms_topk, n)
+    top_scores, top_idx = jax.lax.top_k(scores, p)
+    top_boxes = boxes[top_idx]
+    top_classes = classes[top_idx]
+    valid = top_scores > score_threshold
+    nms_boxes = top_boxes
+    if not class_agnostic:
+        nms_boxes = top_boxes + (top_classes.astype(top_boxes.dtype) * class_offset)[:, None]
+    return top_boxes, nms_boxes, top_scores, top_classes, top_idx, valid
+
+
 def _nms_single(
     boxes: jnp.ndarray,      # (N, 4) xyxy
     scores: jnp.ndarray,     # (N,)
@@ -69,19 +83,15 @@ def _nms_single(
     class_agnostic: bool,
     class_offset: float,
 ):
-    n = boxes.shape[0]
-    p = min(pre_nms_topk, n)
-    top_scores, top_idx = jax.lax.top_k(scores, p)
-    top_boxes = boxes[top_idx]
-    top_classes = classes[top_idx]
-    valid = top_scores > score_threshold
-
-    nms_boxes = top_boxes
-    if not class_agnostic:
-        nms_boxes = top_boxes + (top_classes.astype(top_boxes.dtype) * class_offset)[:, None]
+    top_boxes, nms_boxes, top_scores, top_classes, top_idx, valid = _nms_prefilter(
+        boxes, scores, classes, score_threshold, pre_nms_topk,
+        class_agnostic, class_offset)
     iou = box_iou_xyxy(nms_boxes.astype(jnp.float32), nms_boxes.astype(jnp.float32))
     keep = _greedy_keep(iou, valid, iou_threshold)
+    return _compact(top_boxes, top_scores, top_classes, top_idx, keep, max_detections)
 
+
+def _compact(top_boxes, top_scores, top_classes, top_idx, keep, max_detections):
     # compact kept entries (already score-sorted) into K fixed slots
     k = max_detections
     rank = jnp.cumsum(keep) - 1
@@ -98,7 +108,7 @@ def _nms_single(
     jax.jit,
     static_argnames=(
         "iou_threshold", "score_threshold", "max_detections",
-        "pre_nms_topk", "class_agnostic", "class_offset",
+        "pre_nms_topk", "class_agnostic", "class_offset", "backend",
     ),
 )
 def batched_nms(
@@ -111,7 +121,21 @@ def batched_nms(
     pre_nms_topk: int = 2048,
     class_agnostic: bool = False,
     class_offset: float = 8192.0,
+    backend: str = "xla",  # "xla" | "pallas" (VMEM fixed-point kernel)
 ) -> NMSResult:
+    if backend == "pallas":
+        from .nms_pallas import greedy_keep_pallas
+
+        pre = jax.vmap(partial(
+            _nms_prefilter, score_threshold=score_threshold,
+            pre_nms_topk=pre_nms_topk, class_agnostic=class_agnostic,
+            class_offset=class_offset))(boxes, scores, classes)
+        top_boxes, nms_boxes, top_scores, top_classes, top_idx, valid = pre
+        keep = greedy_keep_pallas(nms_boxes, valid, iou_threshold)
+        out = jax.vmap(partial(_compact, max_detections=max_detections))(
+            top_boxes, top_scores, top_classes, top_idx, keep)
+        return NMSResult(*out)
+
     fn = partial(
         _nms_single,
         iou_threshold=iou_threshold,
