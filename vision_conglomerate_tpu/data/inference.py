@@ -45,15 +45,20 @@ class SingleImgSample:
 
 
 class InferenceImgDataset:
-    """Directory of images (reference inference_dataset.py:32-59)."""
+    """Directory of images (reference inference_dataset.py:32-59; the driver
+    passes img_exts=["png", "jpg", "jpeg"], inference_det.py:261-265)."""
 
-    def __init__(self, img_dir: str, img_ext: str = "png",
+    def __init__(self, img_dir: str, img_ext=None, img_exts=None,
                  img_wh: Tuple[int, int] = (640, 640)):
         self.img_wh = img_wh
-        self.img_files = sorted(
-            glob.glob(os.path.join(img_dir, "**", f"*.{img_ext}"), recursive=True))
+        exts = img_exts if img_exts is not None else (
+            [img_ext] if isinstance(img_ext, str) else (img_ext or ["png", "jpg", "jpeg"]))
+        files = []
+        for ext in exts:
+            files += glob.glob(os.path.join(img_dir, "**", f"*.{ext}"), recursive=True)
+        self.img_files = sorted(set(files))
         if len(self.img_files) == 0:
-            raise FileNotFoundError(f"no .{img_ext} files under {img_dir}")
+            raise FileNotFoundError(f"no {exts} files under {img_dir}")
 
     def __len__(self):
         return len(self.img_files)

@@ -148,8 +148,8 @@ def run_detection_inference(
 
     is_video = False
     if os.path.isdir(path):
-        img_ext = config["train_config"]["img_config"].get("img_ext", "png")
-        dataset = InferenceImgDataset(path, img_ext=img_ext, img_wh=img_wh)
+        dataset = InferenceImgDataset(
+            path, img_exts=["png", "jpg", "jpeg"], img_wh=img_wh)
     elif os.path.isfile(path):
         if path.endswith(("avi", "mkv", "mp4")):
             is_video = True
