@@ -51,7 +51,7 @@ def test_repvgg_block_train_shape():
 def test_repvgg_reparam_equivalence():
     """fused(x) == branches(x) in eval mode — the RepVGG identity."""
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
-    mod = blocks.RepVGGBlock(16, 16)
+    mod = blocks.RepVGGBlock(16, 16, branch_activation=None)  # canonical
     variables = mod.init(KEY, x, train=False)
     # run a few train steps so batch_stats are non-trivial
     vars_mut = variables
@@ -63,7 +63,7 @@ def test_repvgg_reparam_equivalence():
     y_train_form = mod.apply(vars_mut, x, train=False)
 
     dp, ds = reparameterize_params(vars_mut["params"], vars_mut["batch_stats"])
-    deploy_mod = blocks.RepVGGBlock(16, 16, deploy=True)
+    deploy_mod = blocks.RepVGGBlock(16, 16, branch_activation=None, deploy=True)
     deploy_vars = {"params": dp}
     if ds:
         deploy_vars["batch_stats"] = ds
@@ -73,12 +73,12 @@ def test_repvgg_reparam_equivalence():
 
 def test_repvgg_reparam_stride2_no_identity():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8))
-    mod = blocks.RepVGGBlock(8, 24, stride=2)
+    mod = blocks.RepVGGBlock(8, 24, stride=2, branch_activation=None)
     variables = mod.init(KEY, x, train=False)
     assert "identity" not in variables["params"]
     y = mod.apply(variables, x, train=False)
     dp, ds = reparameterize_params(variables["params"], variables["batch_stats"])
-    y2 = blocks.RepVGGBlock(8, 24, stride=2, deploy=True).apply({"params": dp}, x, train=False)
+    y2 = blocks.RepVGGBlock(8, 24, stride=2, branch_activation=None, deploy=True).apply({"params": dp}, x, train=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-4)
 
 

@@ -14,7 +14,8 @@ CONFIG = {
     "neck": "RepBiPAN",
     "head": "EffiDecHead",
     "cspbackbone_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
-    "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+    "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2,
+                        "repvgg_branch_act": None},  # canonical: fully fusable
     "effidechead_config": {"width_multiple": 0.5},
 }
 
@@ -75,6 +76,31 @@ def test_detection_net_full_bn_folding_equivalence():
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y), atol=2e-3, rtol=1e-3)
 
 
+def test_reference_parity_mode_bn_folding_equivalence():
+    """With reference-parity branch activations (default), full RepVGG fusion
+    is impossible (the reference's own toggle_inference_mode silently changes
+    the function); deploy = BN folding only, train-form module structure."""
+    from vision_conglomerate_tpu.nn.blocks import bn_folding
+    from vision_conglomerate_tpu.nn.reparam import deploy_transform
+
+    cfg = dict(CONFIG)
+    cfg["repbipan_config"] = {"width_multiple": 0.25, "depth_multiple": 0.2}  # default silu
+    model = DetectionNet(num_classes=2, config=cfg, anchors=ANCHORS)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = _train_some(model, variables, x)
+    y_ref = model.apply(variables, x, train=False, inference=True)
+
+    dp, ds = deploy_transform(variables["params"], variables["batch_stats"],
+                              fuse_repvgg=False)
+    dv = {"params": dp}
+    if ds:
+        dv["batch_stats"] = ds
+    with bn_folding():
+        y = model.apply(dv, x, train=False, inference=True)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y), atol=2e-3, rtol=1e-3)
+
+
 def test_tracknet_advanced_reparam_equivalence():
     cfg = {
         "weight_init": "xavier",
@@ -84,10 +110,12 @@ def test_tracknet_advanced_reparam_equivalence():
             "decoder_modules": ["DeconvRepBiPAN", "DeconvCSPNet"],
             "encoder_config": {
                 "cspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
-                "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+                "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2,
+                                    "repvgg_branch_act": None},
             },
             "decoder_config": {
-                "deconvrepbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+                "deconvrepbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2,
+                                          "repvgg_branch_act": None},
                 "deconvcspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
             },
         },

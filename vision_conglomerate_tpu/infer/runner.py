@@ -79,15 +79,19 @@ def load_detection_model(
     batch_stats = net.get("batch_stats", {})
 
     cls = SegmentationNet if task == "segmentation" else DetectionNet
+    # full RepVGG fusion only for canonical (activation-free-branch) blocks;
+    # reference-parity blocks (the default) deploy via BN folding only
+    neck_cfg = model_config.get(model_config.get("neck", "").lower() + "_config", {}) or {}
+    fuse_repvgg = use_reparam and neck_cfg.get("repvgg_branch_act", "silu") is None
     if use_reparam:
-        # full deploy transform: RepVGG branch fusion + global conv-BN folding
-        params, batch_stats = deploy_transform(params, batch_stats)
+        params, batch_stats = deploy_transform(
+            params, batch_stats, fuse_repvgg=fuse_repvgg)
     model = cls(
         num_classes=num_classes,
         config=model_config,
         anchors=None,  # anchors ride in the checkpointed params
         num_keypoints=num_keypoints,
-        deploy=use_reparam,
+        deploy=fuse_repvgg,
         dtype=dtype,
     )
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}

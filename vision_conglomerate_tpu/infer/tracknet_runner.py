@@ -31,7 +31,8 @@ import pandas as pd
 
 from ..data.inference import TrackNetInferenceImgDataset, TrackNetInferenceVideoDataset
 from ..models import TrackNet
-from ..nn.reparam import reparameterize_params
+from ..nn.blocks import bn_folding
+from ..nn.reparam import deploy_transform
 from ..ops.heatmap import decode_heatmap_peaks
 from ..train.checkpoint import load_checkpoint
 from ..utils.image import load_and_process_img
@@ -39,20 +40,37 @@ from ..utils.image import load_and_process_img
 logger = logging.getLogger(__name__)
 
 
+def _adv_repvgg_canonical(model_config: Dict[str, Any]) -> bool:
+    """True iff every RepVGG-bearing module config uses canonical
+    (activation-free) branches -> full fusion is valid."""
+    adv = model_config.get("advanced_arch_config", {}) or {}
+    for section in ("encoder_config", "decoder_config"):
+        for key, cfg in (adv.get(section, {}) or {}).items():
+            if "repbipan" in key and (cfg or {}).get("repvgg_branch_act", "silu") is not None:
+                return False
+    return True
+
+
 def load_tracknet_model(weights_path: str, model_config: Dict[str, Any],
                         use_reparam: bool = True, dtype=jnp.bfloat16):
+    """Returns (model, variables, folded). RepVGG blocks exist only in the
+    advanced arch; BN folding applies to both archs."""
     manifest = load_checkpoint(weights_path)
     net = manifest["NETWORK_PARAMS"]
     params, batch_stats = net["params"], net.get("batch_stats", {})
-    # RepVGG blocks exist only in the advanced arch; reparam is a no-op for base
-    deploy = use_reparam and model_config.get("architecture") == "advanced"
-    if deploy:
-        params, batch_stats = reparameterize_params(params, batch_stats)
-    model = TrackNet(config=model_config, deploy=deploy, dtype=dtype)
+    fuse_repvgg = (
+        use_reparam
+        and model_config.get("architecture") == "advanced"
+        and _adv_repvgg_canonical(model_config)
+    )
+    if use_reparam:
+        params, batch_stats = deploy_transform(
+            params, batch_stats, fuse_repvgg=fuse_repvgg)
+    model = TrackNet(config=model_config, deploy=fuse_repvgg, dtype=dtype)
     variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
     if batch_stats:
         variables["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, batch_stats)
-    return model, variables
+    return model, variables, use_reparam
 
 
 def _hough_decode_batch(heatmaps: np.ndarray, threshold: int,
@@ -117,7 +135,7 @@ def run_tracknet_inference(
     else:
         raise OSError(f"{path} not found or unsupported")
 
-    model, variables = load_tracknet_model(
+    model, variables, folded = load_tracknet_model(
         weights_path, config["model_config"], use_reparam=use_reparam)
 
     fwd_cache = {}
@@ -126,8 +144,9 @@ def run_tracknet_inference(
         key = (stacked.shape, og_hw)
         if key not in fwd_cache:
             def f(x):
-                return model.apply(variables, x, train=False, inference=True,
-                                   og_size=og_hw)
+                with bn_folding(folded):
+                    return model.apply(variables, x, train=False, inference=True,
+                                       og_size=og_hw)
             fwd_cache[key] = jax.jit(f)
         return fwd_cache[key](jnp.asarray(stacked))
 

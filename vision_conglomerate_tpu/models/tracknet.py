@@ -22,7 +22,14 @@ Dtype = Any
 
 
 class BaseTrackNetEncoder(nn.Module):
-    """VGG-style encoder emitting fmaps at strides 1/2/4/8 (reference tracknet.py:9-41)."""
+    """VGG-style encoder emitting fmaps at strides 1/2/4/8 (reference tracknet.py:9-41).
+
+    NOTE (reference quirk, preserved): the skip taps are at module indices
+    [1, 3, 6] (tracknet.py:35) — i.e. after the FIRST conv of stages 2 and 3,
+    not the last. The reference's declared out_fmaps_channels [co1, co3, co6]
+    (tracknet.py:31) only matches those taps because co2==co3 and co4==co6
+    numerically at every width.
+    """
 
     width_multiple: float = 1.0
     dtype: Dtype = jnp.float32
@@ -38,16 +45,16 @@ class BaseTrackNetEncoder(nn.Module):
         fmaps = []
         x = conv(co[0], "enc_0")(x, train)
         x = conv(co[1], "enc_1")(x, train)
-        fmaps.append(x)
+        fmaps.append(x)                        # tap @ idx 1
         x = pool(x)
         x = conv(co[2], "enc_3")(x, train)
+        fmaps.append(x)                        # tap @ idx 3 (reference quirk)
         x = conv(co[3], "enc_4")(x, train)
-        fmaps.append(x)
         x = pool(x)
         x = conv(co[4], "enc_6")(x, train)
+        fmaps.append(x)                        # tap @ idx 6 (reference quirk)
         x = conv(co[5], "enc_7")(x, train)
         x = conv(co[6], "enc_8")(x, train)
-        fmaps.append(x)
         x = pool(x)
         x = conv(co[7], "enc_10")(x, train)
         x = conv(co[8], "enc_11")(x, train)

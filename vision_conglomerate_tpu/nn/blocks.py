@@ -117,17 +117,21 @@ class ConvBNorm(nn.Module):
             p = (k[0] // 2, k[1] // 2)
         else:
             p = _pair(self.padding)
+        # folded deploy mode: BN is pre-folded into the conv params, which
+        # then ALWAYS carry a bias (even for use_bias=False train-form convs
+        # like the RepVGG branches — the folded BN shift becomes the bias)
+        folded = bn_folding_active() and self.batchnorm_first and not self.no_batchnorm
         x = nn.Conv(
             self.out_channels,
             kernel_size=k,
             strides=_pair(self.stride),
             padding=(p, p) if isinstance(p[0], tuple) else ((p[0], p[0]), (p[1], p[1])),
-            use_bias=self.use_bias,
+            use_bias=self.use_bias or folded,
             dtype=self.dtype,
             name="conv",
         )(x)
         act = get_activation(self.activation)
-        if self.no_batchnorm or (bn_folding_active() and self.batchnorm_first):
+        if self.no_batchnorm or folded:
             return act(x).astype(self.dtype)
         norm = BatchNorm(name="norm")
         if self.batchnorm_first:
@@ -212,11 +216,20 @@ class RepVGGBlock(nn.Module):
     """RepVGG block (reference common.py:137-229).
 
     Train form: 3x3 conv-BN + 1x1 conv-BN (+ identity BN when stride==1 and
-    in_channels==out_channels), summed, then activation. Deploy form
-    (`deploy=True`): a single fused 3x3 conv whose params are derived by
-    `vision_conglomerate_tpu.nn.reparam.reparameterize_params` — a pure
-    transform over the param pytree (no module mutation, unlike the torch
-    `toggle_inference_mode`).
+    in_channels==out_channels), summed, then activation.
+
+    NOTE (reference quirk, preserved by default): the reference builds its
+    branches as plain ConvBNorm, whose DEFAULT activation is SiLU
+    (common.py:155-160 never passes activation=None) — so each branch is
+    conv -> BN -> SiLU, deviating from the RepVGG paper (activation-free
+    branches) and making the reference's own `toggle_inference_mode` fusion
+    NOT function-preserving (it silently drops the branch SiLUs;
+    the shipped reference CLIs never call it, so this goes unnoticed).
+    `branch_activation="silu"` (default) reproduces the reference train-form
+    exactly; `branch_activation=None` selects the canonical paper block,
+    which IS exactly fusable into a single 3x3 conv (`deploy=True` + params
+    from nn.reparam.reparameterize_params). With branch activations, the
+    deploy optimization is BN folding only (nn.reparam.fold_conv_bn_params).
     """
 
     in_channels: int
@@ -224,6 +237,7 @@ class RepVGGBlock(nn.Module):
     activation: Optional[str] = "silu"
     stride: Union[int, Tuple[int, int]] = 1
     padding: Optional[int] = None
+    branch_activation: Optional[str] = "silu"
     deploy: bool = False
     dtype: Dtype = jnp.float32
 
@@ -236,6 +250,11 @@ class RepVGGBlock(nn.Module):
         pad = self.padding if self.padding is not None else 3 // 2
         act = get_activation(self.activation)
         if self.deploy:
+            if self.branch_activation is not None:
+                raise ValueError(
+                    "deploy=True (single fused conv) requires "
+                    "branch_activation=None (canonical RepVGG); "
+                    "reference-parity blocks deploy via BN folding instead")
             out = nn.Conv(
                 self.out_channels,
                 kernel_size=(3, 3),
@@ -249,11 +268,13 @@ class RepVGGBlock(nn.Module):
 
         out = ConvBNorm(
             self.out_channels, kernel_size=(3, 3), stride=self.stride,
-            padding=pad, use_bias=False, activation=None, dtype=self.dtype, name="conv3x3",
+            padding=pad, use_bias=False, activation=self.branch_activation,
+            dtype=self.dtype, name="conv3x3",
         )(x, train)
         out = out + ConvBNorm(
             self.out_channels, kernel_size=(1, 1), stride=self.stride,
-            padding=pad - 1, use_bias=False, activation=None, dtype=self.dtype, name="conv1x1",
+            padding=pad - 1, use_bias=False, activation=self.branch_activation,
+            dtype=self.dtype, name="conv1x1",
         )(x, train)
         if self.has_identity:
             out = out + BatchNorm(name="identity")(x, train).astype(self.dtype)
@@ -266,6 +287,7 @@ class RepBlock(nn.Module):
     out_channels: int
     n: int = 1
     e: float = 0.5
+    branch_activation: Optional[str] = "silu"
     deploy: bool = False
     dtype: Dtype = jnp.float32
 
@@ -274,7 +296,8 @@ class RepBlock(nn.Module):
         cin = x.shape[-1]
         c_h = int(self.out_channels * self.e)
         mk = lambda ci, co, name: RepVGGBlock(  # noqa: E731
-            ci, co, deploy=self.deploy, dtype=self.dtype, name=name
+            ci, co, branch_activation=self.branch_activation,
+            deploy=self.deploy, dtype=self.dtype, name=name
         )
         if self.n == 1:
             x = mk(cin, self.out_channels, "conv1")(x, train)

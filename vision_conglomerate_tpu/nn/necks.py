@@ -71,6 +71,9 @@ class RepBiPAN(nn.Module):
     cspsppf_poolk: int = 5
     upsample_mode: str = "nearest"
     bic_with_conv: bool = False
+    # "silu" = reference-parity branch activations; None = canonical RepVGG
+    # (fully fusable at deploy) — see blocks.RepVGGBlock docstring
+    repvgg_branch_act: Optional[str] = "silu"
     deploy: bool = False
     dtype: Dtype = jnp.float32
 
@@ -80,7 +83,8 @@ class RepBiPAN(nn.Module):
         depths = [depth_round(d, self.depth_multiple) for d in [1, 1, 1, 1]]
         ch = _pan_channel_outs(_REPBIPAN_BASE8, _REPBIPAN_BASE10, self.width_multiple, self.bic_with_conv)
         rep = lambda co, n, name: RepBlock(  # noqa: E731
-            co, n=n, deploy=self.deploy, dtype=self.dtype, name=name)
+            co, n=n, branch_activation=self.repvgg_branch_act,
+            deploy=self.deploy, dtype=self.dtype, name=name)
 
         p5 = CSPSPPFModule(c5.shape[-1], pool_kernel_size=self.cspsppf_poolk,
                            dtype=self.dtype, name="cspsppf0")(c5, train)
@@ -122,6 +126,7 @@ class DeconvRepBiPAN(nn.Module):
     cspsppf_poolk: int = 5
     upsample_mode: str = "nearest"
     bic_with_conv: bool = False
+    repvgg_branch_act: Optional[str] = "silu"
     deploy: bool = False
     dtype: Dtype = jnp.float32
 
@@ -131,7 +136,8 @@ class DeconvRepBiPAN(nn.Module):
         depths = [depth_round(d, self.depth_multiple) for d in [1, 1, 1, 1]]
         ch = _pan_channel_outs(_DREPBIPAN_BASE8, _DREPBIPAN_BASE10, self.width_multiple, self.bic_with_conv)
         rep = lambda co, n, name: RepBlock(  # noqa: E731
-            co, n=n, deploy=self.deploy, dtype=self.dtype, name=name)
+            co, n=n, branch_activation=self.repvgg_branch_act,
+            deploy=self.deploy, dtype=self.dtype, name=name)
 
         q2 = c2
         d0 = ConvBNorm(ch[0], kernel_size=1, dtype=self.dtype, name="deconv0")(q2, train)

@@ -131,14 +131,20 @@ def fold_conv_bn_params(params: Dict[str, Any], batch_stats: Dict[str, Any]):
     return recurse(params, batch_stats)
 
 
-def deploy_transform(params: Dict[str, Any], batch_stats: Dict[str, Any]):
+def deploy_transform(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                     fuse_repvgg: bool = True):
     """Full serving transform: RepVGG branch fusion + global conv-BN folding.
 
-    Apply the resulting params with the model built with deploy=True AND
-    under `nn.blocks.bn_folding()`.
+    fuse_repvgg=True requires canonical (activation-free-branch) RepVGG
+    blocks (repvgg_branch_act=None in neck configs); apply the result with
+    deploy=True modules. With reference-parity branch activations
+    (fuse_repvgg=False), RepVGG blocks keep their 3 branches but every
+    conv-BN pair is still folded; apply with deploy=False modules. Either
+    way, run apply under `nn.blocks.bn_folding()`.
     """
-    p, s = reparameterize_params(params, batch_stats)
-    return fold_conv_bn_params(p, s)
+    if fuse_repvgg:
+        params, batch_stats = reparameterize_params(params, batch_stats)
+    return fold_conv_bn_params(params, batch_stats)
 
 
 def reparameterize_params(params: Dict[str, Any], batch_stats: Dict[str, Any]):
