@@ -92,6 +92,45 @@ def test_segmentation_forward_parity(ref_modules):  # noqa: F811
         atol=1e-4, rtol=1e-4)
 
 
+def test_tracknet_advanced_forward_parity(ref_modules):  # noqa: F811
+    import torch
+    from modules.tracknet import TrackNet as RefTrackNet
+
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.tools.torch_port import convert_torch_state_dict
+
+    cfg = {
+        "weight_init": "xavier",
+        "architecture": "advanced",
+        "advanced_arch_config": {
+            "encoder_modules": ["CSPNet", "RepBiPAN"],
+            "decoder_modules": ["DeconvRepBiPAN", "DeconvCSPNet"],
+            "encoder_config": {
+                "cspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+                "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+            },
+            "decoder_config": {
+                "deconvrepbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+                "deconvcspnet_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+            },
+        },
+    }
+    torch.manual_seed(3)
+    ref_model = RefTrackNet(9, config=cfg)
+    ref_model.eval()
+
+    variables = convert_torch_state_dict(ref_model.state_dict())
+    model = TrackNet(config=cfg)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(1, 32, 64, 9)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    our_out = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(our_out), ref_out.numpy(), atol=1e-4, rtol=1e-4)
+
+
 def test_tracknet_base_forward_parity(ref_modules):  # noqa: F811
     import torch
     from modules.tracknet import TrackNet as RefTrackNet
