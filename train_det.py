@@ -115,6 +115,7 @@ def run(args, config, config_path, anchors_path):
                  if args.lr_schedule else None)
 
     img_wh = tuple(tc["img_config"]["img_wh"])
+    aug_cfg = tc.get("augment_config", {}) or {}
     pipeline = TrainDetectionPipeline(
         model, loss_cfg, tx,
         lr_scheduler=scheduler,
@@ -123,6 +124,7 @@ def run(args, config, config_path, anchors_path):
         mesh=mesh,
         config_path=config_path,
         sample_input_shape=(img_wh[1], img_wh[0], 3),
+        hflip_prob=float(aug_cfg.get("hflip_prob", 0.0) or 0.0),
     )
 
     from vision_conglomerate_tpu.utils.profiling import trace

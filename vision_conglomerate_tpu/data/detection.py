@@ -87,8 +87,12 @@ class DetectionDataset:
         return raw
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        # ship uint8: PIL resizes the uint8 image BEFORE the reference's /255
+        # (utils/utils.py:32-40), so normalizing on device after an identical
+        # uint8 resize is bit-equivalent and cuts H2D traffic 4x — the
+        # trainers normalize in-jit (ops/preprocess.normalize_images).
         img = load_and_process_img(
-            self.img_files[idx], img_wh=self.img_wh, scale=True, convert_to="RGB")
+            self.img_files[idx], img_wh=self.img_wh, scale=False, convert_to="RGB")
         labels = self.load_labels(self.annotation_files[idx]).astype(np.float32)
         return img, labels
 

@@ -54,6 +54,7 @@ class TrainDetectionPipeline(BasePipeline):
         seed: int = 42,
         sample_input_shape: Tuple[int, int, int] = (640, 640, 3),
         init_scheme: str = "xavier",
+        hflip_prob: float = 0.0,  # device-side augmentation (0 = reference parity)
     ):
         self.model = model
         self.loss_cfg = loss_cfg
@@ -61,6 +62,7 @@ class TrainDetectionPipeline(BasePipeline):
         self.lr_scheduler = lr_scheduler
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = seed
+        self.hflip_prob = hflip_prob
         super().__init__(
             model_name=model_name or type(model).__name__,
             config_path=config_path,
@@ -122,6 +124,13 @@ class TrainDetectionPipeline(BasePipeline):
 
     def _loss_of(self, params, batch_stats, batch, train: bool, rng):
         imgs, labels, mask = batch
+        if imgs.dtype == jnp.uint8:  # device-side /255 (H2D ships uint8)
+            imgs = imgs.astype(jnp.float32) / 255.0
+        if train and self.hflip_prob > 0:
+            from ..ops.preprocess import random_hflip
+
+            imgs, labels = random_hflip(
+                jax.random.fold_in(rng, 1), imgs, labels, prob=self.hflip_prob)
         kwargs = {}
         if train:
             out, mut = self.model.apply(

@@ -18,6 +18,8 @@ class TrainSegmentationPipeline(TrainDetectionPipeline):
 
     def _loss_of(self, params, batch_stats, batch, train: bool, rng):
         imgs, labels, mask, target_masks = batch
+        if imgs.dtype == jax.numpy.uint8:  # device-side /255
+            imgs = imgs.astype(jax.numpy.float32) / 255.0
         if train:
             (preds, protos), mut = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
