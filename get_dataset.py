@@ -92,8 +92,12 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="detection",
                         help="data type folder (detection/segmentation/tracknet)")
     args = parser.parse_args()
+    _load_dotenv()
     if args.source == "kaggle":
         KagglePadelBallDataDownloader(args.dataset, dtype=args.dtype).download()
     else:
-        RoboFlowDataDownloader(
-            args.workspace, args.project, args.version, dtype=args.dtype).download()
+        # reference reads RoboFlow details from .env (readme.md:10-20)
+        workspace = args.workspace or os.environ.get("ROBOFLOW_WORKSPACE", "")
+        project = args.project or os.environ.get("ROBOFLOW_PROJECT", "")
+        version = args.version or int(os.environ.get("VERSION", 1))
+        RoboFlowDataDownloader(workspace, project, version, dtype=args.dtype).download()
