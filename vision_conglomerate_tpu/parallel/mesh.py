@@ -85,8 +85,6 @@ def data_parallel_step(
     `per_shard_fn` must already pmean its gradients/metrics/batch_stats over
     DP_AXIS (see train/steps.py) so its outputs are replication-consistent.
     """
-    n_batch_args = None  # inferred per call via closure below
-
     def wrapper(state, *batch):
         in_specs = (P(),) + tuple(P(DP_AXIS) for _ in batch)
         fn = shard_map(

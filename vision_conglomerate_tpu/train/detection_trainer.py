@@ -12,8 +12,6 @@ pmean'd (== ddp_sync_metrics AVG); BN stats are per-shard during the step and
 pmean'd into the replicated state (see parallel/mesh.py docstring).
 """
 import logging
-import math
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -168,8 +166,6 @@ class TrainDetectionPipeline(BasePipeline):
                 metrics = jax.lax.pmean(metrics, DP_AXIS)
                 new_state = state
             return new_state, metrics
-
-        n_batch_args = 3
 
         def wrapper(state, lr, *batch):
             fn = shard_map(
