@@ -27,9 +27,13 @@ def _to_numpy(tree: Any) -> Any:
 
 
 def save_checkpoint(path: str, manifest: Dict[str, Any]):
+    """Atomic write: serialize to <path>.tmp then rename, so an interrupted
+    save never corrupts the latest checkpoint (crash-safe resume)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(_to_numpy(manifest), f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
@@ -37,3 +41,22 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         raise FileNotFoundError(f"Checkpoint path {path} does not exist")
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ------------------------------------------------------------------ orbax
+# Optional production backend: orbax handles async, atomic, multi-host and
+# sharded-array checkpoints. The pytree payload is identical; the pickle
+# format above stays the default for its zero-dependency portability.
+
+def save_checkpoint_orbax(path: str, manifest: Dict[str, Any]):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), _to_numpy(manifest), force=True)
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
