@@ -29,13 +29,30 @@ def cspnet_out_channels(width_multiple: float = 0.5) -> Tuple[int, int, int, int
     return (co[2], co[4], co[6], co[8])
 
 
+def space_to_depth_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel order ((dy*2+dx)*C + c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 class CSPNet(nn.Module):
     """Cross-stage-partial backbone; emits 4 fmaps at strides 4/8/16/32
-    (reference common.py:414-465). Input H, W must be divisible by 32."""
+    (reference common.py:414-465). Input H, W must be divisible by 32.
+
+    space_to_depth_stem: replaces the k6/s2/p2 stem conv with
+    space-to-depth + k3/s1/p1 on 4x channels — the SAME function (see
+    nn/reparam.s2d_stem_params for the exact kernel rearrangement) with
+    better MXU lane utilization at 3 input channels. Param shapes differ, so
+    it is an architecture choice (or a deploy-time transform), not a
+    checkpoint-compatible toggle.
+    """
 
     width_multiple: float = 0.5
     depth_multiple: float = 0.3
     dropout: float = 0.0
+    space_to_depth_stem: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -50,7 +67,11 @@ class CSPNet(nn.Module):
         co = [channels8(c, self.width_multiple) for c in [32, 64, 128, 256, 256, 512, 512, 1024, 1024]]
         drop = nn.Dropout(self.dropout, deterministic=not train)
 
-        out = ConvBNorm(co[0], kernel_size=6, stride=2, padding=2, dtype=self.dtype, name="conv0")(x, train)
+        if self.space_to_depth_stem:
+            out = ConvBNorm(co[0], kernel_size=3, stride=1, padding=1,
+                            dtype=self.dtype, name="conv0")(space_to_depth_nhwc(x), train)
+        else:
+            out = ConvBNorm(co[0], kernel_size=6, stride=2, padding=2, dtype=self.dtype, name="conv0")(x, train)
         out = ConvBNorm(co[1], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv1")(out, train)
         out = drop(out)
         fmap1 = C3Module(co[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(out, train)

@@ -34,6 +34,23 @@ def _fold_conv_bn(kernel: jnp.ndarray, bn_params: Dict[str, jnp.ndarray],
     return w, b
 
 
+def s2d_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a k6/s2/p2 stem kernel (6, 6, C, O) into the equivalent
+    k3/s1/p1 kernel (3, 3, 4C, O) over space-to-depth input.
+
+    Derivation: out[i,j] = sum_{u,v,c} w[u,v,c] x[2i-2+u, 2j-2+v, c]; writing
+    u = 2a + dy (dy = parity) maps each tap onto plane (dy, dx) at k3 tap
+    (a, b) with pad 1 — exact, incl. the padding band.
+    """
+    c = w.shape[2]
+    out = jnp.zeros((3, 3, 4 * c) + w.shape[3:], w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            plane = (dy * 2 + dx) * c
+            out = out.at[:, :, plane:plane + c].set(w[dy::2, dx::2])
+    return out
+
+
 def _is_repvgg_params(node: Any) -> bool:
     return (
         isinstance(node, dict)
