@@ -15,7 +15,7 @@ import time
 
 A100_TORCH_EST_IMGS_PER_SEC = 1000.0
 
-BATCH = 64  # throughput-optimal on v5e for this model (see dev/bench_*.py)
+BATCH = 128  # throughput-optimal on v5e for this model (see docs/PERF.md)
 WARMUP = 3
 ITERS = 10
 
