@@ -47,6 +47,47 @@ def bn_folding_active() -> bool:
     return _FOLD_BN.get()
 
 
+# Fused pointwise serving mode: 1x1/stride-1 convs in BN-folded deploy mode
+# run as ONE Pallas matmul+bias+activation pass (ops/fused_matmul.py) instead
+# of conv followed by a separate elementwise HBM pass.
+_FUSED_POINTWISE = contextvars.ContextVar("vct_fused_pointwise", default=False)
+
+
+@contextlib.contextmanager
+def fused_pointwise(enabled: bool = True):
+    token = _FUSED_POINTWISE.set(enabled)
+    try:
+        yield
+    finally:
+        _FUSED_POINTWISE.reset(token)
+
+
+def fused_pointwise_active() -> bool:
+    return _FUSED_POINTWISE.get()
+
+
+class _FusedPointwiseConv(nn.Module):
+    """Param-compatible stand-in for nn.Conv(1x1) running the fused Pallas
+    matmul+bias+activation kernel. Named 'conv' by the caller so the folded
+    deploy params address the same tree paths."""
+
+    features: int
+    activation: Optional[str]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.fused_matmul import pointwise_conv_act
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return pointwise_conv_act(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(jnp.float32), self.activation)
+
+
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     if isinstance(v, int):
         return (v, v)
@@ -121,6 +162,16 @@ class ConvBNorm(nn.Module):
         # then ALWAYS carry a bias (even for use_bias=False train-form convs
         # like the RepVGG branches — the folded BN shift becomes the bias)
         folded = bn_folding_active() and self.batchnorm_first and not self.no_batchnorm
+        if (
+            folded
+            and fused_pointwise_active()
+            and k == (1, 1)
+            and _pair(self.stride) == (1, 1)
+            and self.activation in ("silu", "relu", None)
+        ):
+            y = _FusedPointwiseConv(
+                self.out_channels, self.activation, dtype=self.dtype, name="conv")(x)
+            return y.astype(self.dtype)
         x = nn.Conv(
             self.out_channels,
             kernel_size=k,
