@@ -62,6 +62,46 @@ def test_detection_net_with_keypoints_and_loss(tmp_path):
     assert np.isfinite(metrics["kpv_loss"]) and np.isfinite(metrics["kpc_loss"])
 
 
+def test_keypoint_inference_e2e(tmp_path, monkeypatch):
+    """Full inference driver with a keypoint model: kp decode + drawing."""
+    import glob
+
+    from vision_conglomerate_tpu.data import DataLoader, DetectionDataset
+    from vision_conglomerate_tpu.infer.runner import run_detection_inference
+    from vision_conglomerate_tpu.losses import DetectionLossConfig
+    from vision_conglomerate_tpu.models import DetectionNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainDetectionPipeline, make_optimizer
+
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "kp")
+    _write_kp_dataset(root)
+    ds = DetectionDataset(root, img_ext="png", img_wh=(64, 64), max_labels=4)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    model = DetectionNet(num_classes=1, config=TINY_MODEL_CONFIG,
+                         anchors=ANCHORS, num_keypoints=2)
+    tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
+    pipe = TrainDetectionPipeline(
+        model, DetectionLossConfig(num_classes=1, num_keypoints=2), tx,
+        mesh=make_mesh(1), sample_input_shape=(64, 64, 3))
+    pipe.train(dl)
+    pipe.best_model_dir = str(tmp_path / "best")
+    pipe.save_best_model()
+
+    cfg = dict(TINY_MODEL_CONFIG)
+    cfg["num_keypoints"] = 2  # the saved config copy carries this key
+    config = {
+        "model_config": cfg,
+        "train_config": {"img_config": {"img_wh": [64, 64], "img_ext": "png"}},
+    }
+    storage = run_detection_inference(
+        path=root, weights_path=str(tmp_path / "best" / "DetectionNet.ckpt.tar"),
+        config=config, task="detection", batch_size=2,
+        score_threshold=0.0, box_allowance=0, max_detections=8,
+        storage_path=str(tmp_path / "out"))
+    assert len(glob.glob(storage + "/img_*.png")) == 2
+
+
 def test_keypoint_inference_decode():
     """Inference decode maps bbox-relative keypoints to pixels; postprocess
     emits (x, y, argmax-vis)."""
