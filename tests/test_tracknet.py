@@ -108,6 +108,46 @@ def test_tracknet_train_eval(tmp_path):
     assert np.isfinite(l2)
 
 
+def test_tracknet_inference_image_dir(tmp_path, monkeypatch):
+    """Image-sequence inference: sliding stacks over a frame folder.
+
+    Regression: iterating the map-style dataset past len() used to yield
+    ragged (short) stacks because list slices don't raise IndexError."""
+    from vision_conglomerate_tpu.data.inference import TrackNetInferenceImgDataset
+    from vision_conglomerate_tpu.infer.tracknet_runner import run_tracknet_inference
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainTrackNetPipeline, make_optimizer
+
+    monkeypatch.chdir(tmp_path)
+    clip = _write_clip(str(tmp_path / "tn"), n_frames=7, size=(64, 32))
+
+    ds = TrackNetInferenceImgDataset(clip, img_ext="jpg", img_wh=(64, 32), num_stacks=3)
+    assert len(list(iter(ds))) == len(ds) == 5  # iteration stops at len
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        ds[len(ds)]
+
+    model = TrackNet(config=BASE_CONFIG)
+    tx, _ = make_optimizer({"name": "Adadelta", "lr": 1.0})
+    pipe = TrainTrackNetPipeline(model, tx, mesh=make_mesh(1),
+                                 sample_input_shape=(32, 64, 9))
+    pipe.best_model_dir = str(tmp_path / "best")
+    pipe.save_best_model()
+    config = {
+        "model_config": BASE_CONFIG,
+        "train_config": {
+            "img_config": {"img_wh": [64, 32], "num_stacks": 3},
+            "heatmap_threshold": 128,
+        },
+    }
+    storage = run_tracknet_inference(
+        path=clip, weights_path=str(tmp_path / "best" / "TrackNet.ckpt.tar"),
+        config=config, batch_size=4, img_ext="jpg", with_summary=True,
+        storage_path=str(tmp_path / "out"))
+    assert os.path.exists(os.path.join(storage, "video.mp4"))
+
+
 def test_tracknet_inference_video(tmp_path, monkeypatch):
     import cv2
 

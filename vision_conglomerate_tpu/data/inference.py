@@ -41,6 +41,8 @@ class SingleImgSample:
         return 1
 
     def __getitem__(self, idx: int):
+        if idx >= 1:  # legacy-iteration protocol terminates on IndexError
+            raise IndexError(idx)
         return self.img, self.og_img
 
 
@@ -118,6 +120,10 @@ class TrackNetInferenceImgDataset:
         return len(self.img_files) - (self.num_stacks - 1)
 
     def __getitem__(self, idx: int):
+        if idx >= len(self) or idx < 0:
+            # slices past the end would silently yield short (ragged) stacks;
+            # the legacy-iteration protocol also relies on IndexError here
+            raise IndexError(idx)
         paths = self.img_files[idx: idx + self.num_stacks][::-1]  # newest first
         frames = [load_and_process_img(p, None, scale=False) for p in paths]
         og = frames[0]
