@@ -6,3 +6,4 @@ from .mesh import (  # noqa: F401
     process_is_primary,
     maybe_initialize_distributed,
 )
+from .serving import make_dp_serve  # noqa: F401
