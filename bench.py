@@ -77,4 +77,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote TPU compile service occasionally 500s; one retry rides
+    # through transient hiccups without failing the driver's single run
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        time.sleep(10)
+        main()
