@@ -43,6 +43,11 @@ class KagglePadelBallDataDownloader:
                 "required for Kaggle downloads") from e
         tmp = os.path.join(self.data_dir, "_kaggle_tmp")
         kaggle.api.dataset_download_files(self.dataset, path=tmp, unzip=True)
+        self.arrange(tmp, train_split)
+
+    def arrange(self, tmp: str, train_split: float = 0.8):
+        """Split the unpacked padel/ images + new_annotations/ labels into
+        data/<dtype>/{train,valid} (offline-testable half of download())."""
         imgs = sorted(glob.glob(os.path.join(tmp, "padel", "**", "*.*"), recursive=True))
         labels = sorted(glob.glob(os.path.join(tmp, "new_annotations", "**", "*.txt"),
                                   recursive=True))

@@ -30,7 +30,7 @@ def run(args, config_path: str, task: str = "detection"):
         tracked_classes=tracked,
         frame_skips=args.frame_skips,
         box_allowance=args.box_allowance,
-        save_og_size=not args.no_save_og_size,
+        save_og_size=args.save_og_size,
         use_reparam=not args.no_reparam,
     )
 
@@ -49,9 +49,10 @@ def build_parser(task: str, default_weights: str) -> argparse.ArgumentParser:
     parser.add_argument("--tracked_classes", type=str, default="", metavar="", help="class indexes to track")
     parser.add_argument("--frame_skips", type=int, default=0, metavar="", help="Number of frames to skip (only applicable to video stream)")
     parser.add_argument("--box_allowance", type=int, default=4, metavar="", help="Bounding box width and height allowance")
-    parser.add_argument("--save_og_size", action="store_true", default=True,
+    parser.add_argument("--save_og_size", dest="save_og_size", action="store_true", default=True,
                         help="Render outputs at original image size (default; documented by the reference readme.md:32 but never wired there)")
-    parser.add_argument("--no_save_og_size", action="store_true", help="Render outputs at network resolution instead of original size")
+    parser.add_argument("--no_save_og_size", dest="save_og_size", action="store_false",
+                        help="Render outputs at network resolution instead of original size")
     parser.add_argument("--no_reparam", action="store_true", help="Serve the train-form (multi-branch RepVGG) network")
     return parser
 

@@ -97,3 +97,37 @@ def test_prefetch_to_device():
     out = list(prefetch_to_device(iter(batches), size=2))
     assert len(out) == 5
     assert all(isinstance(b[0], jax.Array) for b in out)
+
+
+def test_seg_dropped_candidates_metric():
+    """A crowded image exceeding seg_candidates_per_image must surface a
+    nonzero seg_dropped_candidates metric (VERDICT r1 weak #6)."""
+    from vision_conglomerate_tpu.losses import SegmentationLossConfig
+    from vision_conglomerate_tpu.losses.segmentation_loss import seg_scale_loss
+
+    rng = np.random.default_rng(1)
+    b, g, a, c, k = 1, 8, 3, 2, 4
+    d = 1 + c + 4 + k
+    preds = jnp.asarray(rng.normal(size=(b, g, g, a, d)).astype(np.float32))
+    # 6 well-separated boxes, each assigned to >=1 candidate; cap at 2
+    labels = np.zeros((b, 8, 5), np.float32)
+    for i in range(6):
+        labels[:, i] = [0, 0.125 + 0.125 * i, 0.5, 0.1, 0.1]
+    mask = np.zeros((b, 8), bool)
+    mask[:, :6] = True
+    protos = jnp.asarray(rng.normal(size=(b, 16, 16, k)).astype(np.float32))
+    tmasks = np.zeros((b, 16, 16), np.float32)
+    tmasks[:, 4:12, 4:12] = 1
+    anchors = jnp.asarray([[0.1, 0.1], [0.12, 0.12], [0.15, 0.15]])
+    cfg = SegmentationLossConfig(num_classes=c, seg_candidates_per_image=2)
+    _, metrics = seg_scale_loss(
+        preds, jnp.asarray(labels), jnp.asarray(mask), protos,
+        jnp.asarray(tmasks), anchors, cfg)
+    assert float(metrics["seg_dropped_candidates"]) > 0
+    # raising the cap absorbs everything (6 boxes x 3 anchors x <=5 lattice
+    # cells can produce up to 90 candidates)
+    cfg2 = SegmentationLossConfig(num_classes=c, seg_candidates_per_image=128)
+    _, metrics2 = seg_scale_loss(
+        preds, jnp.asarray(labels), jnp.asarray(mask), protos,
+        jnp.asarray(tmasks), anchors, cfg2)
+    assert float(metrics2["seg_dropped_candidates"]) == 0

@@ -138,6 +138,14 @@ def run(args, config, config_path, anchors_path):
             pipeline.train(train_dl, verbose=verbose)
         if ((epoch + 1) % args.eval_interval == 0) or (epoch + 1 == args.epochs):
             metrics = pipeline.evaluate(eval_dl, verbose=verbose)
+            if getattr(args, "map_eval", False):
+                from vision_conglomerate_tpu.tools.eval_harness import (
+                    evaluate_pipeline_map)
+                map_res = evaluate_pipeline_map(
+                    pipeline, eval_ds, batch_size=args.batch_size)
+                pipeline.annotate_last("eval", {"map50": float(map_res["map"])})
+                if verbose:
+                    logger.info(f"mAP@50: {map_res['map']:.4f}")
             if metrics["aggregate_loss"] < best_loss:
                 best_loss = metrics["aggregate_loss"]
                 pipeline.save_best_model()
@@ -162,6 +170,7 @@ if __name__ == "__main__":
     parser.add_argument("--config_path", type=str, default="configs/detection/config.yaml", metavar="", help="Config YAML path")
     parser.add_argument("--anchors_path", type=str, default="configs/detection/anchors.yaml", metavar="", help="Anchors YAML path")
     parser.add_argument("--profile_dir", type=str, default="", metavar="", help="Write a jax.profiler trace of the first epoch here")
+    parser.add_argument("--map_eval", action="store_true", help="Compute mAP@50 on the val set at each eval interval (recorded in eval metrics)")
     args = parser.parse_args()
 
     np.random.seed(42)

@@ -99,11 +99,16 @@ def seg_scale_loss(
 
     n_per_img = asn.valid.shape[0] // b
     reshape_img = lambda t: t.reshape((b, n_per_img) + t.shape[1:])  # noqa: E731
+    valid_img = reshape_img(asn.valid)
     (c_coefs, c_tmask_idx, c_txywh, c_slot), c_valid = _compact_per_image(
         [reshape_img(coefs), reshape_img(asn.tmask_idx),
          reshape_img(asn.t_xywh), reshape_img(asn.label_slot)],
-        reshape_img(asn.valid), cap,
+        valid_img, cap,
     )
+    # candidates silently lost to the fixed cap (crowded images): surfaced as
+    # a metric so cap pressure is visible instead of silent (VERDICT r1 #6)
+    dropped = jnp.maximum(
+        valid_img.sum(axis=1).astype(jnp.float32) - cap, 0.0).sum()
 
     # (B, S, Hp, Wp) mask logits: one MXU einsum
     pred_mask = jnp.einsum("bhwk,bsk->bshw", protos.astype(jnp.float32), c_coefs)
@@ -159,6 +164,7 @@ def seg_scale_loss(
     det_metrics = dict(det_metrics)
     det_metrics["seg_loss"] = seg
     det_metrics["dice_score"] = dice_score
+    det_metrics["seg_dropped_candidates"] = dropped
     return det_losses, det_metrics
 
 

@@ -211,6 +211,10 @@ class ConvTransposeBNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = _pair(self.kernel_size)
         p = _pair(self.padding or 0)
+        # folded deploy mode: like ConvBNorm, the folded BN shift becomes a
+        # bias, so the transpose conv must carry one even for use_bias=False
+        # train-form modules (fold_conv_bn_params always emits a bias).
+        folded = bn_folding_active() and self.batchnorm_first and not self.no_batchnorm
         # torch ConvTranspose2d output = (i-1)*s - 2p + k. flax ConvTranspose
         # pads the *output*; torch-style crop-padding maps to flax padding
         # ((k-1-p, k-1-p), ...) with transpose_kernel semantics.
@@ -219,12 +223,12 @@ class ConvTransposeBNorm(nn.Module):
             kernel_size=k,
             strides=_pair(self.stride),
             padding=((k[0] - 1 - p[0], k[0] - 1 - p[0]), (k[1] - 1 - p[1], k[1] - 1 - p[1])),
-            use_bias=self.use_bias,
+            use_bias=self.use_bias or folded,
             dtype=self.dtype,
             name="conv_transpose",
         )(x)
         act = get_activation(self.activation)
-        if self.no_batchnorm or (bn_folding_active() and self.batchnorm_first):
+        if self.no_batchnorm or folded:
             return act(x).astype(self.dtype)
         norm = BatchNorm(name="norm")
         if self.batchnorm_first:

@@ -145,6 +145,8 @@ def fold_conv_bn_params(params: Dict[str, Any], batch_stats: Dict[str, Any]):
                     new_s[key] = val
         return new_p, new_s
 
+    if _is_conv_bn_params(params):  # a bare ConvBNorm/ConvTransposeBNorm
+        return fold_one(params, batch_stats), {}
     return recurse(params, batch_stats)
 
 

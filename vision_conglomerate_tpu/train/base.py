@@ -7,12 +7,15 @@ Mirrors the reference pipeline surface
 num_keypoints injected, and process-0-only writes (rank-0 ≡
 jax.process_index()==0 here).
 """
+import functools
 import logging
 import os
 import time
 from datetime import datetime
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import pandas as pd
 
 from ..parallel.mesh import process_is_primary
@@ -42,6 +45,15 @@ class BasePipeline:
         if config_path:
             self._save_config_copy(config_path, to_checkpoint_dir=True)
             self._save_config_copy(config_path, to_checkpoint_dir=False)
+
+    # ------------------------------------------------------ device metrics
+    # One compiled tree-add, donated into, dispatched asynchronously per step:
+    # epoch metric accumulation never blocks the device queue (the per-step
+    # float() host sync it replaces serialized host and device work).
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _metrics_add(acc, new):
+        return jax.tree_util.tree_map(jnp.add, acc, new)
 
     # ------------------------------------------------------------ manifest
     def _manifest(self, snapshot: bool) -> Dict[str, Any]:
@@ -91,6 +103,14 @@ class BasePipeline:
                 log = f"[{mode.title()}]: " + "\t".join(
                     f"{k.replace('_', ' ')}: {v :.4f}" for k, v in metrics.items())
                 print(log)
+
+    def annotate_last(self, mode: str, extra: Dict[str, float]):
+        """Merge extra metrics (e.g. the --map_eval hook's mAP@50) into the
+        most recent epoch record so they ride the CSV/plot artifacts."""
+        if process_is_primary():
+            history = getattr(self, f"_{mode}_metrics")
+            if history:
+                history[-1].update(extra)
 
     def metrics_to_csv(self):
         if process_is_primary():
