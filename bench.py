@@ -68,15 +68,20 @@ def main():
 
     @jax.jit
     def serve(x):
+        # production serving ships uint8 (decoded images); /255 in-jit in
+        # bf16 replaces the f32 convert + layout copy that cost 2.6 ms/step
+        # at batch 128 (xprof, docs/PERF.md r2 findings)
+        x = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         with bn_folding():
             preds = model.apply(deploy_vars, x, train=False, inference=True)
         return postprocess_detections(
             preds, num_classes=num_classes,
             iou_threshold=0.35, score_threshold=0.3,
-            box_allowance=4.0, max_detections=300)
+            box_allowance=4.0, max_detections=300,
+            topk_method="approx")  # serve default; see ops/nms.py
 
     key = jax.random.PRNGKey(1)
-    x = jax.random.uniform(key, (BATCH, 640, 640, 3), jnp.float32)
+    x = jax.random.randint(key, (BATCH, 640, 640, 3), 0, 256, jnp.uint8)
 
     compiled = serve.lower(x).compile()
     total_flops = _cost_analysis_flops(compiled)  # whole batch, one step

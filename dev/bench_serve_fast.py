@@ -1,0 +1,70 @@
+"""Fast (lanes-major) serve path vs reference-layout serve path, batch 128."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from __graft_entry__ import ANCHORS, DET_CONFIG  # noqa: E402
+from vision_conglomerate_tpu.models import DetectionNet  # noqa: E402
+from vision_conglomerate_tpu.nn.blocks import bn_folding  # noqa: E402
+from vision_conglomerate_tpu.nn.reparam import deploy_transform  # noqa: E402
+from vision_conglomerate_tpu.ops.postprocess import postprocess_detections  # noqa: E402
+from vision_conglomerate_tpu.ops.serve_decode import decode_and_postprocess  # noqa: E402
+
+BATCH = 128
+ITERS = 10
+
+
+def timed(fn, x):
+    jax.block_until_ready(fn(x))
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH / dt, dt * 1000
+
+
+def main():
+    num_classes = 2
+    train_model = DetectionNet(
+        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    variables = train_model.init(jax.random.PRNGKey(0), x0, train=False)
+    dparams, dstats = deploy_transform(variables["params"], variables["batch_stats"])
+    model = DetectionNet(
+        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS,
+        deploy=True, dtype=jnp.bfloat16)
+    deploy_vars = {"params": dparams}
+    if dstats:
+        deploy_vars["batch_stats"] = dstats
+
+    kw = dict(iou_threshold=0.35, score_threshold=0.3, box_allowance=4.0,
+              max_detections=300)
+
+    @jax.jit
+    def serve_ref(xx):
+        with bn_folding():
+            preds = model.apply(deploy_vars, xx, train=False, inference=True)
+        return postprocess_detections(preds, num_classes=num_classes, **kw)
+
+    @jax.jit
+    def serve_fast(xx):
+        with bn_folding():
+            raw = model.apply(deploy_vars, xx, train=False, raw_fields=True)
+        return decode_and_postprocess(raw, (640, 640), num_classes=num_classes, **kw)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 640, 640, 3), jnp.float32)
+    ips_r, ms_r = timed(serve_ref, x)
+    print(f"reference-layout serve: {ips_r:8.1f} img/s ({ms_r:.2f} ms/batch)")
+    ips_f, ms_f = timed(serve_fast, x)
+    print(f"lanes-major fast serve: {ips_f:8.1f} img/s ({ms_f:.2f} ms/batch)")
+    print(f"speedup {ips_f / ips_r:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,13 @@ def make_dataset(config, subdir: str):
     from vision_conglomerate_tpu.data import DetectionDataset
 
     tc = config["train_config"]
+    dl_cfg = tc.get("dataloader_config", {}) or {}
     return DetectionDataset(
         os.path.join(tc["data_path"], subdir),
         img_ext=tc["img_config"]["img_ext"],
         img_wh=tuple(tc["img_config"]["img_wh"]),
-        max_labels=int(tc.get("dataloader_config", {}).get("max_labels", 64) or 64),
+        max_labels=int(dl_cfg.get("max_labels", 64) or 64),
+        decode_backend=dl_cfg.get("decode_backend", "pil"),
     )
 
 

@@ -31,11 +31,21 @@ class DetectionDataset:
         img_ext: str = "png",
         img_wh: Union[int, Tuple[int, int]] = (640, 640),
         max_labels: int = 64,
+        decode_backend: str = "pil",  # "pil" | "native" (C++ jpeg/png +
+        # PIL-parity bicubic resize; see data/native_loader.py)
     ):
         if isinstance(img_wh, int):
             img_wh = (img_wh, img_wh)
         self.img_wh = img_wh
         self.max_labels = max_labels
+        self.decode_backend = decode_backend
+        self._native = None
+        if decode_backend == "native":
+            from .native_loader import NativeImageDecoder
+
+            self._native = NativeImageDecoder()
+        elif decode_backend != "pil":
+            raise ValueError(f"unknown decode_backend: {decode_backend!r}")
 
         self.img_files = sorted(
             glob.glob(os.path.join(data_dir, "**", f"*.{img_ext}"), recursive=True))
@@ -91,8 +101,14 @@ class DetectionDataset:
         # (utils/utils.py:32-40), so normalizing on device after an identical
         # uint8 resize is bit-equivalent and cuts H2D traffic 4x — the
         # trainers normalize in-jit (ops/preprocess.normalize_images).
-        img = load_and_process_img(
-            self.img_files[idx], img_wh=self.img_wh, scale=False, convert_to="RGB")
+        if self._native is not None:
+            with open(self.img_files[idx], "rb") as f:
+                img = self._native.decode_resize(f.read(), self.img_wh,
+                                                 resize="pil")
+        else:
+            img = load_and_process_img(
+                self.img_files[idx], img_wh=self.img_wh, scale=False,
+                convert_to="RGB")
         labels = self.load_labels(self.annotation_files[idx]).astype(np.float32)
         return img, labels
 

@@ -175,6 +175,7 @@ class DetectionNet(nn.Module):
         train: bool = False,
         inference: bool = False,
         og_size: Optional[Tuple[int, int]] = None,
+        raw_fields: bool = False,
     ):
         cfg = self.config
         anchors_init = self.anchors or ZERO_ANCHORS
@@ -214,7 +215,23 @@ class DetectionNet(nn.Module):
                 dtype=self.dtype,
                 name=f"head_{i}",
             )
-            heads_out.append(head(fm, train))
+            heads_out.append(head(fm, train, raw_fields=raw_fields))
+
+        if raw_fields:
+            # serve-fast path (ops/serve_decode.py): per-scale field dicts +
+            # anchors; the decode runs outside the module in a lanes-major
+            # layout instead of the (A, D)-minor reference layout
+            scale_fields = ({"sm": sm_anchors, "md": md_anchors, "lg": lg_anchors},
+                            heads_out)
+            if self.with_proto_seg:
+                protos = ProtoSegModule(
+                    out_channels=int(cfg["num_masks"]),
+                    **dict(cfg.get("protos_config", {}) or {}),
+                    dtype=self.dtype,
+                    name="proto_seg_module",
+                )(n3, train)
+                return scale_fields, protos
+            return scale_fields
 
         input_shape = (x.shape[1], x.shape[2])
         decode = lambda sp, a: decode_scale(  # noqa: E731

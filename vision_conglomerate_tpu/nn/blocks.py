@@ -555,7 +555,8 @@ class EffiDecHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 raw_fields: bool = False):
         n, ny, nx, cin = x.shape
         stem_out = max(round(cin * self.width_multiple), 1)
         reg_depth = max(round(self.reg_fmap_depth), 1)
@@ -580,6 +581,7 @@ class EffiDecHead(nn.Module):
             return t.reshape(n, ny, nx, self.num_anchors, last_dim)
 
         parts = [_reshape(conf, 1), _reshape(cls, self.num_classes), _reshape(bbox, 4)]
+        fields = {"conf": conf, "cls": cls, "bbox": bbox}
 
         if self.num_masks:
             m_depth = max(round(self.masks_fmap_depth or 1), 1)
@@ -588,6 +590,7 @@ class EffiDecHead(nn.Module):
                 m = ConvBNorm(stem_out, 3, 1, dtype=self.dtype, name=f"mask_fmap_layer_{i}")(m, train)
             masks = conv1x1(self.num_anchors * self.num_masks, "masks_layer")(m)
             parts.append(_reshape(masks, self.num_masks))
+            fields["masks"] = masks
 
         if self.num_keypoints:
             kp_depth = max(round(self.keypoints_fmap_depth or 1), 1)
@@ -596,7 +599,14 @@ class EffiDecHead(nn.Module):
                 kpf = ConvBNorm(stem_out, 3, 1, dtype=self.dtype, name=f"keypoints_fmap_layer_{i}")(kpf, train)
             kp = conv1x1(self.num_anchors * 5 * self.num_keypoints, "keypoints_layer")(kpf)
             parts.append(_reshape(kp, 5 * self.num_keypoints))
+            fields["keypoints"] = kp
 
+        if raw_fields:
+            # serve-fast path: per-field channels-last maps, no (A, D)
+            # reshape — the tiny (3, 7) minor dims that reshape creates pad
+            # TPU (8, 128) vector tiles to ~2% utilization and dominate the
+            # decode cost (see ops/serve_decode.py)
+            return fields
         return jnp.concatenate(parts, axis=-1)
 
 
@@ -611,7 +621,8 @@ class BasicHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 raw_fields: bool = False):
         n, ny, nx, cin = x.shape
         stem_out = max(round(cin * self.width_multiple), 1)
         out = ConvBNorm(stem_out, kernel_size=3, stride=1, dtype=self.dtype, name="stem_layer")(x, train)
@@ -619,6 +630,10 @@ class BasicHead(nn.Module):
             5 + self.num_classes + (self.num_masks or 0) + (self.num_keypoints or 0) * 5
         )
         out = nn.Conv(out_channels, kernel_size=(1, 1), dtype=self.dtype, name="conv")(out)
+        if raw_fields:
+            # channels-last (B, ny, nx, A*D) with anchor-major packing; the
+            # serve-fast decode un-packs it in a lanes-major layout
+            return {"packed": out}
         out = out.reshape(n, ny, nx, self.num_anchors, -1)
         # reference layout is conf|cls|bbox|masks|kp via separate convs in
         # EffiDecHead; BasicHead leaves the split to the same slicing order.

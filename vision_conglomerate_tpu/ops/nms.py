@@ -59,10 +59,20 @@ def _greedy_keep(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> 
 
 
 def _nms_prefilter(boxes, scores, classes, score_threshold, pre_nms_topk,
-                   class_agnostic, class_offset):
+                   class_agnostic, class_offset, topk_method="exact"):
     n = boxes.shape[0]
     p = min(pre_nms_topk, n)
-    top_scores, top_idx = jax.lax.top_k(scores, p)
+    if topk_method == "approx":
+        # TPU PartialReduce custom call — at batch 128 the exact top_k
+        # lowers to a full (B, N) sort costing ~2.3 ms/step plus several ms
+        # of slice machinery (xprof, docs/PERF.md r2 findings); approx_max_k
+        # is a single-pass bin reduce. recall_target applies to candidates
+        # near the P-th score — at serve thresholds those are discarded
+        # anyway; accuracy-critical paths (mAP eval) keep "exact".
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, p, recall_target=0.95, aggregate_to_topk=True)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, p)
     top_boxes = boxes[top_idx]
     top_classes = classes[top_idx]
     valid = top_scores > score_threshold
@@ -82,10 +92,11 @@ def _nms_single(
     pre_nms_topk: int,
     class_agnostic: bool,
     class_offset: float,
+    topk_method: str = "exact",
 ):
     top_boxes, nms_boxes, top_scores, top_classes, top_idx, valid = _nms_prefilter(
         boxes, scores, classes, score_threshold, pre_nms_topk,
-        class_agnostic, class_offset)
+        class_agnostic, class_offset, topk_method)
     iou = box_iou_xyxy(nms_boxes.astype(jnp.float32), nms_boxes.astype(jnp.float32))
     keep = _greedy_keep(iou, valid, iou_threshold)
     return _compact(top_boxes, top_scores, top_classes, top_idx, keep, max_detections)
@@ -109,6 +120,7 @@ def _compact(top_boxes, top_scores, top_classes, top_idx, keep, max_detections):
     static_argnames=(
         "iou_threshold", "score_threshold", "max_detections",
         "pre_nms_topk", "class_agnostic", "class_offset", "backend",
+        "topk_method",
     ),
 )
 def batched_nms(
@@ -122,6 +134,7 @@ def batched_nms(
     class_agnostic: bool = False,
     class_offset: float = 8192.0,
     backend: str = "xla",  # "xla" | "pallas" (VMEM fixed-point kernel)
+    topk_method: str = "exact",  # "exact" | "approx" (approx_max_k; serve)
 ) -> NMSResult:
     if backend == "pallas":
         from .nms_pallas import greedy_keep_pallas
@@ -129,7 +142,7 @@ def batched_nms(
         pre = jax.vmap(partial(
             _nms_prefilter, score_threshold=score_threshold,
             pre_nms_topk=pre_nms_topk, class_agnostic=class_agnostic,
-            class_offset=class_offset))(boxes, scores, classes)
+            class_offset=class_offset, topk_method=topk_method))(boxes, scores, classes)
         top_boxes, nms_boxes, top_scores, top_classes, top_idx, valid = pre
         keep = greedy_keep_pallas(nms_boxes, valid, iou_threshold)
         out = jax.vmap(partial(_compact, max_detections=max_detections))(
@@ -144,6 +157,7 @@ def batched_nms(
         pre_nms_topk=pre_nms_topk,
         class_agnostic=class_agnostic,
         class_offset=class_offset,
+        topk_method=topk_method,
     )
     out = jax.vmap(fn)(boxes, scores, classes)
     return NMSResult(*out)

@@ -38,7 +38,8 @@ class PostProcessResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=(
     "num_classes", "num_masks", "num_keypoints", "iou_threshold",
-    "score_threshold", "box_allowance", "max_detections", "pre_nms_topk"))
+    "score_threshold", "box_allowance", "max_detections", "pre_nms_topk",
+    "topk_method"))
 def postprocess_detections(
     preds: jnp.ndarray,  # (B, M, 5+C+Km+5*Kp) flattened inference-decoded preds
     num_classes: int,
@@ -49,6 +50,7 @@ def postprocess_detections(
     box_allowance: float = 0.0,
     max_detections: int = 300,
     pre_nms_topk: int = 2048,
+    topk_method: str = "exact",  # "approx" for serving (see ops/nms.py)
 ) -> PostProcessResult:
     preds = preds.astype(jnp.float32)
     c = num_classes
@@ -69,6 +71,7 @@ def postprocess_detections(
         max_detections=max_detections,
         pre_nms_topk=pre_nms_topk,
         class_agnostic=True,  # parity with the reference's per-image NMS
+        topk_method=topk_method,
     )
 
     take = lambda t: jnp.take_along_axis(  # noqa: E731
