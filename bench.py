@@ -53,6 +53,8 @@ def main():
     from vision_conglomerate_tpu.nn.reparam import deploy_transform
     from vision_conglomerate_tpu.ops.postprocess import postprocess_detections
 
+    import os
+
     num_classes = 2
     train_model = DetectionNet(
         num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
@@ -66,22 +68,37 @@ def main():
     if dstats:
         deploy_vars["batch_stats"] = dstats
 
+    key = jax.random.PRNGKey(1)
+    x = jax.random.randint(key, (BATCH, 640, 640, 3), 0, 256, jnp.uint8)
+
+    # int8 PTQ serving (the production serve mode: measured mAP@50 delta
+    # -0.38 points on the trained shapes run, BASELINE.md; nn/quantize.py).
+    # BENCH_QUANTIZE=none benches the bf16 deploy form instead.
+    quantize = os.environ.get("BENCH_QUANTIZE", "int8")
+    if quantize == "int8":
+        from vision_conglomerate_tpu.nn.quantize import (
+            collect_calibration, int8_quantize_params)
+
+        calib = x[:16].astype(jnp.float32) / 255.0
+        absmax = collect_calibration(model, deploy_vars, [calib], inference=True)
+        deploy_vars = dict(deploy_vars)
+        deploy_vars["params"] = int8_quantize_params(deploy_vars["params"], absmax)
+
+    from vision_conglomerate_tpu.nn.quantize import int8_serving
+
     @jax.jit
     def serve(x):
         # production serving ships uint8 (decoded images); /255 in-jit in
         # bf16 replaces the f32 convert + layout copy that cost 2.6 ms/step
         # at batch 128 (xprof, docs/PERF.md r2 findings)
         x = x.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-        with bn_folding():
+        with bn_folding(), int8_serving(quantize == "int8"):
             preds = model.apply(deploy_vars, x, train=False, inference=True)
         return postprocess_detections(
             preds, num_classes=num_classes,
             iou_threshold=0.35, score_threshold=0.3,
             box_allowance=4.0, max_detections=300,
             topk_method="approx")  # serve default; see ops/nms.py
-
-    key = jax.random.PRNGKey(1)
-    x = jax.random.randint(key, (BATCH, 640, 640, 3), 0, 256, jnp.uint8)
 
     compiled = serve.lower(x).compile()
     total_flops = _cost_analysis_flops(compiled)  # whole batch, one step
@@ -114,7 +131,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / A100_TORCH_EST_IMGS_PER_SEC, 3),
         "gflops_per_image": round(gflops_per_image, 2),
         "achieved_tflops": round(achieved_tflops, 2),
-        "mfu": mfu,
+        "mfu": mfu,  # vs bf16 peak (logical FLOPs; int8 mode included)
+        "quantize": quantize,
         "device_kind": getattr(dev, "device_kind", str(dev)),
         "batch": BATCH,
     }))

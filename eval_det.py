@@ -45,6 +45,7 @@ def run(args) -> dict:
         max_detections=args.max_detections,
         use_reparam=not args.no_reparam,
         max_labels=args.max_labels,
+        quantize=(args.quantize if args.quantize != "none" else None),
     )
     out = {
         f"map{int(round(args.iou * 100))}": round(result["map"], 5),
@@ -55,6 +56,7 @@ def run(args) -> dict:
         "num_images": result["num_images"],
         "weights": args.weights_path,
         "data_dir": args.data_dir,
+        "quantize": args.quantize,
     }
     print(json.dumps(out))
     return out
@@ -79,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_labels", type=int, default=64, metavar="")
     parser.add_argument("--no_reparam", action="store_true",
                         help="Evaluate the train-form (multi-branch) network")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
+                        help="Evaluate the int8-PTQ serving form (mAP delta check vs bf16)")
     return parser
 
 

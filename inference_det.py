@@ -32,6 +32,7 @@ def run(args, config_path: str, task: str = "detection"):
         box_allowance=args.box_allowance,
         save_og_size=args.save_og_size,
         use_reparam=not args.no_reparam,
+        quantize=(args.quantize if args.quantize != "none" else None),
     )
 
 
@@ -54,6 +55,8 @@ def build_parser(task: str, default_weights: str) -> argparse.ArgumentParser:
     parser.add_argument("--no_save_og_size", dest="save_og_size", action="store_false",
                         help="Render outputs at network resolution instead of original size")
     parser.add_argument("--no_reparam", action="store_true", help="Serve the train-form (multi-branch RepVGG) network")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
+                        help="Post-training quantization of the deploy-form convs (int8 MXU; calibrated on the first batch)")
     return parser
 
 

@@ -40,9 +40,8 @@ def _greedy_nms_np(boxes, scores, iou_threshold):
     return sorted(keep)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_nms_matches_sequential_greedy(seed, backend):
+def test_nms_matches_sequential_greedy(seed):
     rng = np.random.default_rng(seed)
     n = 64
     xy = rng.uniform(0, 100, size=(n, 2))
@@ -59,7 +58,7 @@ def test_nms_matches_sequential_greedy(seed, backend):
         jnp.asarray(boxes[None]), jnp.asarray(scores[None]),
         jnp.zeros((1, n), jnp.int32),
         iou_threshold=0.5, score_threshold=0.0,
-        max_detections=n, pre_nms_topk=n, class_agnostic=True, backend=backend)
+        max_detections=n, pre_nms_topk=n, class_agnostic=True)
     got = sorted(np.asarray(out.indices[0])[np.asarray(out.valid[0])].tolist())
     assert got == ref_keep
 

@@ -100,22 +100,38 @@ def load_detection_model(
     return model, variables, num_classes
 
 
-def _make_forward(model, variables, folded: bool):
+def _make_forward(model, variables, folded: bool, int8: bool = False):
     # og rescale is static per og-size; cache one jitted program per
     # (batch shape, og size)
+    from ..nn.quantize import int8_serving
+
     cache = {}
 
     def forward(imgs: np.ndarray, og_hw: Tuple[int, int]):
         key = (imgs.shape, tuple(og_hw))
         if key not in cache:
             def f(x):
-                with bn_folding(folded):
+                with bn_folding(folded), int8_serving(int8):
                     return model.apply(
                         variables, x, train=False, inference=True, og_size=tuple(og_hw))
             cache[key] = jax.jit(f)
         return cache[key](jnp.asarray(imgs))
 
     return forward
+
+
+def quantize_model_int8(model, variables, calib_imgs, **apply_kwargs):
+    """PTQ: calibrate activation scales on `calib_imgs` (normalized floats,
+    the serve input), quantize the folded conv params to int8. Returns the
+    int8 variables; apply them under int8_serving()."""
+    from ..nn.quantize import collect_calibration, int8_quantize_params
+
+    absmax = collect_calibration(
+        model, variables, [jnp.asarray(calib_imgs)], inference=True,
+        **apply_kwargs)
+    qv = dict(variables)
+    qv["params"] = int8_quantize_params(variables["params"], absmax)
+    return qv
 
 
 def run_detection_inference(
@@ -135,6 +151,8 @@ def run_detection_inference(
     use_reparam: bool = True,
     max_detections: int = 300,
     storage_path: Optional[str] = None,
+    quantize: Optional[str] = None,  # None | "int8" (PTQ; calibrates on the
+    # first batch of the actual input — see nn/quantize.py)
 ):
     """End-to-end CLI driver (reference inference_det.py run/evaluate_frames,
     :168-311). `save_og_size` implements the flag the reference documents in
@@ -165,10 +183,16 @@ def run_detection_inference(
     else:
         raise OSError(f"{path} not found")
 
+    if quantize not in (None, "none", "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if quantize == "int8" and not use_reparam:
+        raise ValueError("--quantize int8 requires the deploy (reparam) form; "
+                         "drop --no_reparam")
     model, variables, num_classes = load_detection_model(
         weights_path, model_config, task=task,
         num_keypoints=num_keypoints, use_reparam=use_reparam)
     forward = _make_forward(model, variables, folded=use_reparam)
+    quantize_pending = quantize == "int8"
 
     tracker = ByteTrack(
         track_activation_threshold=0.35,
@@ -213,6 +237,10 @@ def run_detection_inference(
                 yield np.stack(buf_i), np.stack(buf_o)
 
     for imgs, ogs in batches():
+        if quantize_pending:  # PTQ on the first real batch, then serve int8
+            variables = quantize_model_int8(model, variables, imgs)
+            forward = _make_forward(model, variables, folded=use_reparam, int8=True)
+            quantize_pending = False
         og_hw = (ogs.shape[1], ogs.shape[2]) if save_og_size else (imgs.shape[1], imgs.shape[2])
         out = forward(imgs, og_hw)
         protos = None

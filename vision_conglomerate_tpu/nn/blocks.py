@@ -162,6 +162,22 @@ class ConvBNorm(nn.Module):
         # then ALWAYS carry a bias (even for use_bias=False train-form convs
         # like the RepVGG branches — the folded BN shift becomes the bias)
         folded = bn_folding_active() and self.batchnorm_first and not self.no_batchnorm
+        if folded:
+            from .quantize import (
+                calibrating_active, int8_serving_active, quantized_conv)
+
+            pad_lax = (p, p) if isinstance(p[0], tuple) else (
+                (p[0], p[0]), (p[1], p[1]))
+            if calibrating_active():
+                self.sow("intermediates", "act_absmax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if int8_serving_active() and self.has_variable("params", "q_kernel"):
+                conv_fn = lambda xq, wq: jax.lax.conv_general_dilated(  # noqa: E731
+                    xq, wq, _pair(self.stride), pad_lax,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return quantized_conv(
+                    x, self, conv_fn, get_activation(self.activation), self.dtype)
         if (
             folded
             and fused_pointwise_active()
@@ -310,6 +326,18 @@ class RepVGGBlock(nn.Module):
                     "deploy=True (single fused conv) requires "
                     "branch_activation=None (canonical RepVGG); "
                     "reference-parity blocks deploy via BN folding instead")
+            from .quantize import (
+                calibrating_active, int8_serving_active, quantized_conv)
+
+            if calibrating_active():
+                self.sow("intermediates", "act_absmax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if int8_serving_active() and self.has_variable("params", "q_kernel"):
+                conv_fn = lambda xq, wq: jax.lax.conv_general_dilated(  # noqa: E731
+                    xq, wq, _pair(self.stride), ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return quantized_conv(x, self, conv_fn, act, self.dtype)
             out = nn.Conv(
                 self.out_channels,
                 kernel_size=(3, 3),

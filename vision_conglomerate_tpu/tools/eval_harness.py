@@ -117,10 +117,12 @@ def evaluate_checkpoint_map(
     use_reparam: bool = True,
     dtype=jnp.bfloat16,
     max_labels: int = 64,
+    quantize: Optional[str] = None,  # None | "int8" (PTQ, first-batch calib)
 ) -> Dict[str, Any]:
     """Checkpoint + YOLO-format val dir -> {"map", "ap_per_class", ...}."""
     from ..data.detection import DetectionDataset
-    from ..infer.runner import load_detection_model
+    from ..infer.runner import load_detection_model, quantize_model_int8
+    from ..nn.quantize import int8_serving
 
     model_config = config["model_config"]
     tc = config["train_config"]
@@ -137,8 +139,17 @@ def evaluate_checkpoint_map(
         weights_path, model_config, task="detection",
         num_keypoints=num_keypoints, use_reparam=use_reparam, dtype=dtype)
 
+    int8 = quantize == "int8"
+    if int8:
+        if not use_reparam:
+            raise ValueError("quantize='int8' requires use_reparam=True")
+        imgs, _, _ = dataset.collate_fn(
+            [dataset[i] for i in range(min(batch_size, len(dataset)))])
+        calib = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+        variables = quantize_model_int8(model, variables, calib)
+
     def apply_fn(x):
-        with bn_folding(use_reparam):
+        with bn_folding(use_reparam), int8_serving(int8):
             return model.apply(variables, x, train=False, inference=True)
 
     forward = _make_postprocess_forward(
