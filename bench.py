@@ -26,7 +26,9 @@ PEAK_TFLOPS = {
     "TPU v6 lite": 918.0,  # v6e
 }
 
-BATCH = 128  # throughput-optimal on v5e for this model (see docs/PERF.md)
+import os as _os
+
+BATCH = int(_os.environ.get("BENCH_BATCH", "128"))  # 128 = throughput-optimal on v5e (docs/PERF.md)
 WARMUP = 3
 ITERS = 10
 
