@@ -88,7 +88,9 @@ def bench_det_train_step(batch=16):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    if which in ("seg", "both"):
-        bench_seg_serve()
-    if which in ("train", "both"):
-        bench_det_train_step()
+    batches = [int(b) for b in sys.argv[2:]] or [None]
+    for b in batches:
+        if which in ("seg", "both"):
+            bench_seg_serve(**({"batch": b} if b else {}))
+        if which in ("train", "both"):
+            bench_det_train_step(**({"batch": b} if b else {}))
