@@ -50,10 +50,11 @@ def build_parser(task: str, default_weights: str) -> argparse.ArgumentParser:
     parser.add_argument("--tracked_classes", type=str, default="", metavar="", help="class indexes to track")
     parser.add_argument("--frame_skips", type=int, default=0, metavar="", help="Number of frames to skip (only applicable to video stream)")
     parser.add_argument("--box_allowance", type=int, default=4, metavar="", help="Bounding box width and height allowance")
-    parser.add_argument("--save_og_size", dest="save_og_size", action="store_true", default=True,
+    parser.add_argument("--save_og_size", dest="save_og_size", action="store_true",
                         help="Render outputs at original image size (default; documented by the reference readme.md:32 but never wired there)")
     parser.add_argument("--no_save_og_size", dest="save_og_size", action="store_false",
                         help="Render outputs at network resolution instead of original size")
+    parser.set_defaults(save_og_size=True)
     parser.add_argument("--no_reparam", action="store_true", help="Serve the train-form (multi-branch RepVGG) network")
     parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
                         help="Post-training quantization of the deploy-form convs (int8 MXU; calibrated on the first batch)")

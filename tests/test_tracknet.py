@@ -67,6 +67,25 @@ def test_tracknet_dataset_windows(tmp_path):
     assert vis == 1
 
 
+def test_tracknet_dataset_cache(tmp_path):
+    from vision_conglomerate_tpu.data import TrackNetDataset
+
+    root = str(tmp_path / "tn")
+    _write_clip(root, n_frames=6)
+    ds = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32),
+                         avg_diameter=5, cache=True, seed=0)
+    uncached = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32),
+                               avg_diameter=5, seed=0)
+    for i in range(len(ds)):
+        a = ds[i]
+        b = ds[i]  # second read served from cache
+        c = uncached[i]
+        assert a[0] is b[0]  # cached: identical object, no re-decode
+        for x, y in zip(a, c):
+            np.testing.assert_array_equal(x, y)
+    assert len(ds._cache) == len(ds)
+
+
 @pytest.mark.parametrize("config", [BASE_CONFIG, ADV_CONFIG],
                          ids=["base", "advanced"])
 def test_tracknet_forward_shapes(config):

@@ -30,12 +30,14 @@ def run(args, config, config_path):
         avg_diameter=int(img_cfg.get("avg_diameter", 5)),
         split_percentage=0.7,
         seed=42,
+        cache=args.cache_data,
     )
     eval_ds = TrackNetDataset(
         labels_df=train_ds.unused_labels_df,
         num_stacks=int(img_cfg.get("num_stacks", 3)),
         img_wh=tuple(img_cfg["img_wh"]),
         avg_diameter=int(img_cfg.get("avg_diameter", 5)),
+        cache=args.cache_data,
     )
     dl_cfg = dict(tc.get("dataloader_config", {}) or {})
     train_dl = DataLoader(train_ds, args.batch_size, shuffle=bool(dl_cfg.get("shuffle", True)),
@@ -101,6 +103,9 @@ if __name__ == "__main__":
     parser.add_argument("--use_ddp", action="store_true", help="Shard training over all visible devices (data parallel)")
     parser.add_argument("--checkpoint_path", type=str, default="", metavar="", help="Resume from this checkpoint")
     parser.add_argument("--config_path", type=str, default="configs/tracknet/config.yaml", metavar="", help="Config YAML path")
+    parser.add_argument("--cache_data", action="store_true",
+                        help="Cache decoded frame windows in host RAM after the first epoch "
+                             "(samples are deterministic; removes repeated decode cost on small clip datasets)")
     args = parser.parse_args()
 
     np.random.seed(42)

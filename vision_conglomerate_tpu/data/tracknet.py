@@ -36,6 +36,7 @@ class TrackNetDataset:
         avg_diameter: int = 5,
         split_percentage: Optional[float] = None,
         seed: Optional[int] = None,
+        cache: bool = False,
     ):
         if (labels_df is not None and data_path is not None) or (
                 labels_df is None and data_path is None):
@@ -52,11 +53,26 @@ class TrackNetDataset:
         split = int(self.split_percentage * df.shape[0])
         self.labels_df = df.iloc[:split].reset_index(drop=True)
         self.unused_labels_df = df.iloc[split:].reset_index(drop=True)
+        # In-memory sample cache: TrackNet windows share frames (each frame
+        # appears in num_stacks windows) and clips are small, so caching the
+        # decoded (frames, heatmap, others) tuples removes the host decode
+        # bottleneck on repeated epochs. Samples are deterministic (no
+        # augmentation), so the cache is exact.
+        self.cache = cache
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return self.labels_df.shape[0]
 
     def __getitem__(self, idx: int):
+        if self.cache and idx in self._cache:
+            return self._cache[idx]
+        item = self._load_item(idx)
+        if self.cache:
+            self._cache[idx] = item
+        return item
+
+    def _load_item(self, idx: int):
         *frame_paths, visibility, x, y, status = self.labels_df.iloc[idx, :]
         frames = [load_and_process_img(p, None) for p in frame_paths][::-1]  # newest first
         stacked = np.concatenate(frames, axis=-1)  # (H, W, 3*num_stacks)
