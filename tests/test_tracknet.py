@@ -103,6 +103,68 @@ def test_tracknet_forward_shapes(config):
     assert hm.shape == (1, 32, 64) and hm.dtype == jnp.uint8
 
 
+def test_tracknet_heatmap_fires_tp():
+    """Learnability: overfitting a tiny batch must drive the predicted
+    heatmap peak over the 128 decode threshold within 4px of the ball —
+    i.e. the eval protocol can produce tp>0, not just a falling CE loss
+    (reference protocol: /root/reference/pipeline/tracknet_trainer.py:141-155)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vision_conglomerate_tpu.losses.focal import softmax_cross_entropy
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.ops.heatmap import make_gt_heatmap_np
+
+    hw, B = 48, 2
+    rng = np.random.default_rng(0)
+    frames = rng.normal(0, 0.05, size=(B, hw, hw, 9)).astype(np.float32) + 0.4
+    hms = []
+    for b in range(B):
+        x, y = rng.integers(10, hw - 10, size=2)
+        yy, xx = np.mgrid[0:hw, 0:hw]
+        ball = ((xx - x) ** 2 + (yy - y) ** 2 <= 9).astype(np.float32)
+        for c in range(9):
+            frames[b, :, :, c] = np.where(ball > 0, 0.95, frames[b, :, :, c])
+        hms.append(make_gt_heatmap_np(int(x), int(y), 1, (hw, hw), variance=5))
+    heatmaps = np.stack(hms)
+
+    model = TrackNet(config=BASE_CONFIG, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 9)),
+                           train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+    fx, hy = jnp.asarray(frames), jnp.asarray(heatmaps).astype(jnp.int32)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            logits, mut = model.apply({"params": p, "batch_stats": batch_stats},
+                                      fx, train=True, mutable=["batch_stats"])
+            return softmax_cross_entropy(logits, hy).mean(), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), mut["batch_stats"], opt_state, loss
+
+    hits = 0
+    for i in range(120):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        if i >= 40 and i % 20 == 0:
+            pred = np.asarray(jnp.argmax(model.apply(
+                {"params": params, "batch_stats": batch_stats}, fx, train=False), -1))
+            hits = 0
+            for b in range(B):
+                gy, gx = np.unravel_index(heatmaps[b].argmax(), heatmaps[b].shape)
+                py, px = np.unravel_index(pred[b].argmax(), pred[b].shape)
+                if pred[b].max() >= 128 and np.hypot(px - gx, py - gy) <= 4:
+                    hits += 1
+            if hits == B:
+                break
+    assert hits == B, f"heatmap never fired tp on all {B} samples (hits={hits})"
+
+
 def test_tracknet_train_eval(tmp_path):
     from vision_conglomerate_tpu.data import DataLoader, TrackNetDataset
     from vision_conglomerate_tpu.models import TrackNet
