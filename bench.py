@@ -46,6 +46,10 @@ def _cost_analysis_flops(compiled) -> float:
 
 
 def main():
+    quantize = _os.environ.get("BENCH_QUANTIZE", "int8")
+    if quantize not in ("int8", "none"):
+        raise SystemExit(f"BENCH_QUANTIZE must be 'int8' or 'none', got {quantize!r}")
+
     import jax
     import jax.numpy as jnp
 
@@ -76,15 +80,11 @@ def main():
     # int8 PTQ serving (the production serve mode: measured mAP@50 delta
     # -0.38 points on the trained shapes run, BASELINE.md; nn/quantize.py).
     # BENCH_QUANTIZE=none benches the bf16 deploy form instead.
-    quantize = os.environ.get("BENCH_QUANTIZE", "int8")
     if quantize == "int8":
-        from vision_conglomerate_tpu.nn.quantize import (
-            collect_calibration, int8_quantize_params)
+        from vision_conglomerate_tpu.infer.runner import quantize_model_int8
 
         calib = x[:16].astype(jnp.float32) / 255.0
-        absmax = collect_calibration(model, deploy_vars, [calib], inference=True)
-        deploy_vars = dict(deploy_vars)
-        deploy_vars["params"] = int8_quantize_params(deploy_vars["params"], absmax)
+        deploy_vars = quantize_model_int8(model, deploy_vars, calib)
 
     from vision_conglomerate_tpu.nn.quantize import int8_serving
 

@@ -12,49 +12,24 @@ If (a)-(b) is small, a Pallas fused conv cannot win much and the perf work
 should pivot (VERDICT r2 item #1 allows a measured kill).
 """
 import sys
-import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
-
-from __graft_entry__ import ANCHORS, DET_CONFIG  # noqa: E402
-from vision_conglomerate_tpu.models import DetectionNet  # noqa: E402
+from dev.serve_build import build_deploy_model, timed  # noqa: E402
 from vision_conglomerate_tpu.nn import blocks  # noqa: E402
 from vision_conglomerate_tpu.nn.blocks import bn_folding  # noqa: E402
-from vision_conglomerate_tpu.nn.reparam import deploy_transform  # noqa: E402
 from vision_conglomerate_tpu.ops.postprocess import postprocess_detections  # noqa: E402
 
 BATCH = 128
-ITERS = 10
 
 
 def build():
     num_classes = 2
-    train_model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
-    variables = train_model.init(jax.random.PRNGKey(0), x0, train=False)
-    dparams, dstats = deploy_transform(variables["params"], variables["batch_stats"])
-    model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS,
-        deploy=True, dtype=jnp.bfloat16)
-    deploy_vars = {"params": dparams}
-    if dstats:
-        deploy_vars["batch_stats"] = dstats
+    model, deploy_vars = build_deploy_model(num_classes=num_classes)
     return model, deploy_vars, num_classes
-
-
-def timed(fn, x):
-    jax.block_until_ready(fn(x))
-    jax.block_until_ready(fn(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt, dt * 1000
 
 
 def main():

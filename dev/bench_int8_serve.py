@@ -1,54 +1,27 @@
 """Full-model int8 PTQ serve vs bf16 deploy serve, batch 128 (VERDICT r2 #4)."""
 import sys
-import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
-
-from __graft_entry__ import ANCHORS, DET_CONFIG  # noqa: E402
-from vision_conglomerate_tpu.models import DetectionNet  # noqa: E402
+from dev.serve_build import build_deploy_model, timed  # noqa: E402
+from vision_conglomerate_tpu.infer.runner import quantize_model_int8  # noqa: E402
 from vision_conglomerate_tpu.nn.blocks import bn_folding  # noqa: E402
-from vision_conglomerate_tpu.nn.quantize import (  # noqa: E402
-    collect_calibration, int8_quantize_params, int8_serving)
-from vision_conglomerate_tpu.nn.reparam import deploy_transform  # noqa: E402
+from vision_conglomerate_tpu.nn.quantize import int8_serving  # noqa: E402
 from vision_conglomerate_tpu.ops.postprocess import postprocess_detections  # noqa: E402
 
 BATCH = 128
-ITERS = 10
-
-
-def timed(fn, x):
-    jax.block_until_ready(fn(x))
-    jax.block_until_ready(fn(x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    return BATCH / dt, dt * 1000
 
 
 def main():
     num_classes = 2
-    train_model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
-    variables = train_model.init(jax.random.PRNGKey(0), x0, train=False)
-    dparams, dstats = deploy_transform(variables["params"], variables["batch_stats"])
-    model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS,
-        deploy=True, dtype=jnp.bfloat16)
-    dv = {"params": dparams}
-    if dstats:
-        dv["batch_stats"] = dstats
+    model, dv = build_deploy_model(num_classes=num_classes)
 
     x = jax.random.randint(jax.random.PRNGKey(1), (BATCH, 640, 640, 3), 0, 256, jnp.uint8)
     calib = x[:16].astype(jnp.float32) / 255.0
-    absmax = collect_calibration(model, dv, [calib], inference=True)
-    qv = dict(dv)
-    qv["params"] = int8_quantize_params(dv["params"], absmax)
+    qv = quantize_model_int8(model, dv, calib)
     n_q = sum(1 for p, _ in jax.tree_util.tree_leaves_with_path(qv["params"])
               if "q_kernel" in str(p))
     print(f"{n_q} convs quantized to int8")

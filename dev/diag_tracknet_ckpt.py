@@ -4,6 +4,7 @@ value at the GT ball pixel, peak location) to tell 'peak below the 128
 decode threshold' apart from 'collapsed to background'."""
 import sys
 
+sys.path.insert(0, ".")
 import dev.cpu  # noqa: F401  (forces the CPU backend before first use)
 
 import numpy as np

@@ -8,17 +8,14 @@ import json
 import os
 import shutil
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-from __graft_entry__ import ANCHORS, DET_CONFIG  # noqa: E402
-from vision_conglomerate_tpu.models import DetectionNet  # noqa: E402
+from dev.serve_build import build_deploy_model  # noqa: E402
 from vision_conglomerate_tpu.nn.blocks import bn_folding  # noqa: E402
-from vision_conglomerate_tpu.nn.reparam import deploy_transform  # noqa: E402
 from vision_conglomerate_tpu.ops.postprocess import postprocess_detections  # noqa: E402
 from vision_conglomerate_tpu.ops.serve_decode import decode_and_postprocess  # noqa: E402
 
@@ -28,17 +25,7 @@ LOGDIR = "/tmp/serve_trace"
 
 def build(fast: bool):
     num_classes = 2
-    train_model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, 640, 640, 3), jnp.float32)
-    variables = train_model.init(jax.random.PRNGKey(0), x0, train=False)
-    dparams, dstats = deploy_transform(variables["params"], variables["batch_stats"])
-    model = DetectionNet(
-        num_classes=num_classes, config=DET_CONFIG, anchors=ANCHORS,
-        deploy=True, dtype=jnp.bfloat16)
-    deploy_vars = {"params": dparams}
-    if dstats:
-        deploy_vars["batch_stats"] = dstats
+    model, deploy_vars = build_deploy_model(num_classes=num_classes)
     kw = dict(iou_threshold=0.35, score_threshold=0.3, box_allowance=4.0,
               max_detections=300)
 

@@ -345,6 +345,7 @@ int vct_probe(const uint8_t* jpeg_data, size_t jpeg_len, int* w, int* h) {
   if (is_png(jpeg_data, jpeg_len)) {
     // PNG IHDR is always the first chunk: width/height big-endian at 16/20.
     if (jpeg_len < 24) return 1;
+    if (memcmp(jpeg_data + 12, "IHDR", 4) != 0) return 1;  // corrupt header
     const uint8_t* p = jpeg_data + 16;
     *w = (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
     *h = (p[4] << 24) | (p[5] << 16) | (p[6] << 8) | p[7];

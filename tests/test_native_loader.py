@@ -55,6 +55,15 @@ def test_invalid_jpeg_raises():
         dec.decode_resize(b"not a jpeg", (8, 8))
 
 
+def test_probe_corrupt_png_raises(png_bytes):
+    dec = NativeImageDecoder()
+    # valid 8-byte PNG signature followed by junk instead of an IHDR chunk
+    corrupt = png_bytes[:8] + b"\x00" * 24
+    with pytest.raises(ValueError):
+        dec.probe(corrupt)
+    assert dec.probe(png_bytes) == (56, 40)
+
+
 @pytest.fixture(scope="module")
 def png_bytes():
     rng = np.random.default_rng(1)

@@ -46,6 +46,10 @@ def _fields_to_adhw(fields: Dict[str, jnp.ndarray], num_anchors: int,
     if "packed" in fields:  # BasicHead: anchor-major [conf|cls|bbox|masks|kp]
         p = to_k_hw(fields["packed"])
         b, k, hw = p.shape
+        if k != a * (5 + num_classes + num_masks):
+            raise NotImplementedError(
+                f"packed head width {k} != A*(5+C+Km)={a * (5 + num_classes + num_masks)}"
+                " — keypoint heads are not supported on the serve-fast path")
         p = p.reshape(b, a, k // a, hw)
         conf = p[:, :, 0, :]
         cls = p[:, :, 1:1 + num_classes, :]
@@ -119,7 +123,8 @@ def _decode_scale_fast(
 
 @partial(jax.jit, static_argnames=(
     "num_classes", "num_masks", "input_shape", "og_size", "iou_threshold",
-    "score_threshold", "box_allowance", "max_detections", "pre_nms_topk"))
+    "score_threshold", "box_allowance", "max_detections", "pre_nms_topk",
+    "topk_method"))
 def decode_and_postprocess(
     raw: Any,                      # DetectionNet(..., raw_fields=True) output
     input_shape: Tuple[int, int],  # (H, W) network input
@@ -131,8 +136,15 @@ def decode_and_postprocess(
     box_allowance: float = 0.0,
     max_detections: int = 300,
     pre_nms_topk: int = 2048,
+    topk_method: str = "exact",  # "exact" | "approx" (approx_max_k; serve)
 ) -> PostProcessResult:
     anchors_dict, per_scale_fields = raw
+    for fields in per_scale_fields:
+        if "keypoints" in fields:
+            raise NotImplementedError(
+                "serve-fast decode does not carry keypoint fields; serve "
+                "keypoint models via models.detection decode_scale + "
+                "ops.postprocess.postprocess_detections")
     h, w = input_shape
     scale_to = None
     # reference quirk: rescale only when BOTH og dims differ (detection.py:76)
@@ -158,7 +170,13 @@ def decode_and_postprocess(
     coefs = jnp.concatenate(coefs_l, axis=-1) if coefs_l else None  # (B,Km,M)
 
     p = min(pre_nms_topk, scores.shape[-1])
-    top_scores, top_idx = jax.lax.top_k(scores, p)                # (B, P)
+    if topk_method == "approx":
+        # same rationale as ops/nms.py: exact top_k lowers to a full (B, M)
+        # sort inside big serve programs (~2.3 ms/step at B=128, xprof)
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, p, recall_target=0.95, aggregate_to_topk=True)  # (B, P)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, p)              # (B, P)
     valid = top_scores > score_threshold
     take_rows = lambda t: jnp.take_along_axis(  # noqa: E731
         t, top_idx[:, None, :], axis=2)
