@@ -103,6 +103,57 @@ def test_tracknet_forward_shapes(config):
     assert hm.shape == (1, 32, 64) and hm.dtype == jnp.uint8
 
 
+def test_tracknet_dataset_uint8_transfer(tmp_path):
+    """uint8 shipping mode: frames come back uint8 and, after /255, match
+    the reference-parity f32 path within bilinear-rounding tolerance."""
+    from vision_conglomerate_tpu.data import TrackNetDataset
+
+    root = str(tmp_path / "tn")
+    _write_clip(root, n_frames=6)
+    f32 = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32), seed=0)
+    u8 = TrackNetDataset(data_path=root, num_stacks=3, img_wh=(64, 32), seed=0,
+                         transfer_dtype="uint8")
+    for i in range(len(f32)):
+        a, hm_a, o_a = f32[i]
+        b, hm_b, o_b = u8[i]
+        assert b.dtype == np.uint8 and a.dtype == np.float32
+        np.testing.assert_allclose(b.astype(np.float32) / 255.0, a,
+                                   atol=1.5 / 255.0)
+        np.testing.assert_array_equal(hm_a, hm_b)
+        np.testing.assert_array_equal(o_a, o_b)
+    with pytest.raises(ValueError):
+        TrackNetDataset(data_path=root, transfer_dtype="float16")
+
+
+def test_tracknet_trainer_accepts_uint8(tmp_path):
+    """The jitted train/eval steps normalize uint8 frames in-jit to the
+    same result as pre-normalized f32 frames."""
+    import jax.numpy as jnp
+
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainTrackNetPipeline, make_optimizer
+
+    model = TrackNet(config=BASE_CONFIG)
+    tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
+    pipe = TrainTrackNetPipeline(model, tx, mesh=make_mesh(1),
+                                 sample_input_shape=(32, 64, 9))
+    rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(0, 256, size=(2, 32, 64, 9), dtype=np.uint8)
+    heatmaps = np.zeros((2, 32, 64), np.uint8)
+
+    lr = jnp.float32(1e-3)
+    loss_f32, *_ = pipe._eval_forward(
+        pipe.state, jnp.asarray(frames_u8.astype(np.float32) / 255.0),
+        jnp.asarray(heatmaps))
+    loss_u8, *_ = pipe._eval_forward(
+        pipe.state, jnp.asarray(frames_u8), jnp.asarray(heatmaps))
+    np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-5)
+    state2, m = pipe._train_step(pipe.state, lr, jnp.asarray(frames_u8),
+                                 jnp.asarray(heatmaps))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_tracknet_heatmap_fires_tp():
     """Learnability: overfitting a tiny batch must drive the predicted
     heatmap peak over the 128 decode threshold within 4px of the ball —

@@ -31,6 +31,7 @@ def run(args, config, config_path):
         split_percentage=0.7,
         seed=42,
         cache=args.cache_data,
+        transfer_dtype="uint8",  # /255 happens in-jit (4x less H2D)
     )
     eval_ds = TrackNetDataset(
         labels_df=train_ds.unused_labels_df,
@@ -38,6 +39,7 @@ def run(args, config, config_path):
         img_wh=tuple(img_cfg["img_wh"]),
         avg_diameter=int(img_cfg.get("avg_diameter", 5)),
         cache=args.cache_data,
+        transfer_dtype="uint8",
     )
     dl_cfg = dict(tc.get("dataloader_config", {}) or {})
     train_dl = DataLoader(train_ds, args.batch_size, shuffle=bool(dl_cfg.get("shuffle", True)),

@@ -37,7 +37,10 @@ class TrackNetDataset:
         split_percentage: Optional[float] = None,
         seed: Optional[int] = None,
         cache: bool = False,
+        transfer_dtype: str = "float32",  # "float32" (reference parity) | "uint8"
     ):
+        if transfer_dtype not in ("float32", "uint8"):
+            raise ValueError(f"transfer_dtype must be 'float32' or 'uint8', got {transfer_dtype!r}")
         if (labels_df is not None and data_path is not None) or (
                 labels_df is None and data_path is None):
             raise ValueError(
@@ -60,6 +63,7 @@ class TrackNetDataset:
         # augmentation), so the cache is exact.
         self.cache = cache
         self._cache: dict = {}
+        self.transfer_dtype = transfer_dtype
 
     def __len__(self) -> int:
         return self.labels_df.shape[0]
@@ -74,18 +78,23 @@ class TrackNetDataset:
 
     def _load_item(self, idx: int):
         *frame_paths, visibility, x, y, status = self.labels_df.iloc[idx, :]
-        frames = [load_and_process_img(p, None) for p in frame_paths][::-1]  # newest first
+        ship_u8 = self.transfer_dtype == "uint8"
+        frames = [load_and_process_img(p, None, scale=not ship_u8)
+                  for p in frame_paths][::-1]  # newest first
         stacked = np.concatenate(frames, axis=-1)  # (H, W, 3*num_stacks)
         if visibility == 0:
             x, y = -1, -1
         else:
             x = x * (self.img_wh[0] / stacked.shape[1])
             y = y * (self.img_wh[1] / stacked.shape[0])
+        # uint8 mode resizes the raw bytes and leaves /255 to the trainer's
+        # in-jit normalize (4x less H2D; <=0.5/255 rounding vs the
+        # reference's /255-then-resize order, utils/utils.py:40)
         stacked = cv2.resize(stacked, self.img_wh, interpolation=cv2.INTER_LINEAR)
         heatmap = make_gt_heatmap_np(
             int(x), int(y), int(visibility), self.img_wh, variance=self.avg_diameter)
         others = np.asarray([visibility, x, y, status], dtype=np.float32)
-        return stacked.astype(np.float32), heatmap, others
+        return (stacked if ship_u8 else stacked.astype(np.float32)), heatmap, others
 
     def collate_fn(self, batch):
         frames, heatmaps, others = zip(*batch)
