@@ -18,22 +18,25 @@ def main():
     num_classes = 2
     model, deploy_vars = build_deploy_model(num_classes=num_classes)
 
-    kw = dict(iou_threshold=0.35, score_threshold=0.3, box_allowance=4.0,
+    kw = dict(topk_method="approx",  # serve setting on both paths
+              iou_threshold=0.35, score_threshold=0.3, box_allowance=4.0,
               max_detections=300)
 
     @jax.jit
     def serve_ref(xx):
+        xx = xx.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         with bn_folding():
             preds = model.apply(deploy_vars, xx, train=False, inference=True)
         return postprocess_detections(preds, num_classes=num_classes, **kw)
 
     @jax.jit
     def serve_fast(xx):
+        xx = xx.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         with bn_folding():
             raw = model.apply(deploy_vars, xx, train=False, raw_fields=True)
         return decode_and_postprocess(raw, (640, 640), num_classes=num_classes, **kw)
 
-    x = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 640, 640, 3), jnp.float32)
+    x = jax.random.randint(jax.random.PRNGKey(1), (BATCH, 640, 640, 3), 0, 256, jnp.uint8)
     ips_r, ms_r = timed(serve_ref, x)
     print(f"reference-layout serve: {ips_r:8.1f} img/s ({ms_r:.2f} ms/batch)")
     ips_f, ms_f = timed(serve_fast, x)
