@@ -1,0 +1,63 @@
+"""CLI glue smoke test: train_tracknet.run end-to-end on a synthetic clip —
+uint8+cached dataset defaults, epoch loop with a ragged final eval batch
+(drop_last=False: every window scored exactly once, reference
+tracknet_trainer.py eval semantics), checkpoint + metrics CSV."""
+import argparse
+import os
+import sys
+
+import pandas as pd
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_tracknet import _write_clip  # noqa: E402
+
+
+def test_train_tracknet_run(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # 13 frames -> 11 windows -> 70/30 split: 7 train / 4 eval; batch 3
+    # leaves a ragged final eval batch of 1
+    _write_clip(str(tmp_path / "data/tracknet"), n_frames=13)
+
+    config = {
+        "model_config": {
+            "weight_init": "uniform",
+            "architecture": "base",
+            "base_arch_config": {
+                "encoder_config": {"width_multiple": 0.25},
+                "decoder_config": {"width_multiple": 0.25},
+            },
+        },
+        "train_config": {
+            "data_path": "data/tracknet",
+            "tp_dist_tol": 4.0,
+            "heatmap_threshold": 128,
+            "heatmap_decode": "centroid",
+            "dataloader_config": {"shuffle": True, "num_workers": 2},
+            "img_config": {"img_wh": [64, 32], "num_stacks": 3, "avg_diameter": 5},
+            "optimizer_config": {"name": "Adam", "lr": 1e-3},
+            "lr_scheduler_config": {"name": "CosineAnnealingWarmRestarts",
+                                    "T_0": 10, "T_mult": 1, "eta_min": 1e-6},
+        },
+    }
+    config_path = str(tmp_path / "config.yaml")
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    import train_tracknet
+
+    args = argparse.Namespace(
+        batch_size=3, epochs=1, steps_per_epoch=None, checkpoint_interval=1,
+        eval_interval=1, no_verbose=True, lr_schedule=False,
+        lr_schedule_interval=1, use_ddp=False, checkpoint_path="",
+        config_path=config_path, cache_data=True)
+    train_tracknet.run(args, config, config_path)
+
+    assert os.path.exists("metrics/tracknet/train_metrics.csv")
+    assert os.path.exists("metrics/tracknet/eval_metrics.csv")
+    assert os.path.exists("saved_model/tracknet/best_model/TrackNet.ckpt.tar")
+    ev = pd.read_csv("metrics/tracknet/eval_metrics.csv")
+    # ALL 4 eval windows counted (tp+tn+fp+fn == 4), incl. the ragged tail
+    counted = float(ev[["tp", "tn", "fp", "fn"]].iloc[-1].sum())
+    assert counted == 4.0, f"eval counted {counted} windows, expected 4"

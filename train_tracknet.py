@@ -44,8 +44,11 @@ def run(args, config, config_path):
     dl_cfg = dict(tc.get("dataloader_config", {}) or {})
     train_dl = DataLoader(train_ds, args.batch_size, shuffle=bool(dl_cfg.get("shuffle", True)),
                           num_workers=int(dl_cfg.get("num_workers", 8) or 8), drop_last=True)
+    # eval must score every window exactly once (reference torch DataLoader
+    # drop_last=False); the tail batch costs one extra compiled shape, reused
+    # every epoch
     eval_dl = DataLoader(eval_ds, args.batch_size, shuffle=False,
-                         num_workers=int(dl_cfg.get("num_workers", 8) or 8), drop_last=True)
+                         num_workers=int(dl_cfg.get("num_workers", 8) or 8), drop_last=False)
 
     mesh = make_mesh() if args.use_ddp else make_mesh(1)
     n_devices = mesh.devices.size
