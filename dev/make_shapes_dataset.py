@@ -7,7 +7,15 @@ uses a reproducible stand-in styled after the domain: class 0 = small
 ball-like bright circles, class 1 = larger player-ish boxes, on textured
 backgrounds. YOLO-format labels, data/<split>/ layout.
 
-Usage: python dev/make_shapes_dataset.py [out_root] [n_train] [n_valid] [size]
+With `--keypoints`, every object also gets 2 labeled keypoints appended as
+(x, y, vis) triples in YOLO image-normalized coords (the format the
+reference's dataset consumes and renormalizes bbox-relative,
+/root/reference/dataset/detection_dataset.py:41-51): a visually distinct
+TOP marker (drawn dot) and BOTTOM marker, so keypoint training has real
+signal; ~10% of keypoints are marked vis=0 (not drawn) to exercise the
+visibility classes.
+
+Usage: python dev/make_shapes_dataset.py [out_root] [n_train] [n_valid] [size] [--keypoints]
 """
 import os
 import sys
@@ -16,7 +24,7 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 
-def make_split(root, n, size, rng):
+def make_split(root, n, size, rng, keypoints=False):
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         # textured background
@@ -44,23 +52,37 @@ def make_split(root, n, size, rng):
                 color = tuple(int(v) for v in rng.integers(0, 120, size=3))
                 draw.rectangle([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
                                fill=color, outline=(240, 240, 240), width=2)
-            labels.append((cls, cx / size, cy / size, w / size, h / size))
+            row = [cls, cx / size, cy / size, w / size, h / size]
+            if keypoints:
+                # kp0 = top-center (red dot), kp1 = bottom-center (blue dot)
+                kr = max(2.0, 0.08 * min(w, h))
+                for (kx, ky), col in (((cx, cy - h / 2 + kr), (255, 40, 40)),
+                                      ((cx, cy + h / 2 - kr), (40, 40, 255))):
+                    vis = 2 if rng.uniform() > 0.1 else 0
+                    if vis:
+                        draw.ellipse([kx - kr, ky - kr, kx + kr, ky + kr], fill=col)
+                    row += [kx / size, ky / size, vis]
+            labels.append(tuple(row))
         im.save(os.path.join(root, f"img_{i:04d}.png"))
         with open(os.path.join(root, f"img_{i:04d}.txt"), "w") as f:
-            for cls, x, y, w, h in labels:
-                f.write(f"{cls} {x:.6f} {y:.6f} {w:.6f} {h:.6f}\n")
+            for row in labels:
+                f.write(" ".join(
+                    str(v) if isinstance(v, int) else f"{v:.6f}" for v in row) + "\n")
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "data/detection"
-    n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 240
-    n_valid = int(sys.argv[3]) if len(sys.argv) > 3 else 60
-    size = int(sys.argv[4]) if len(sys.argv) > 4 else 640
+    argv = [a for a in sys.argv[1:] if a != "--keypoints"]
+    keypoints = "--keypoints" in sys.argv[1:]
+    out = argv[0] if len(argv) > 0 else "data/detection"
+    n_train = int(argv[1]) if len(argv) > 1 else 240
+    n_valid = int(argv[2]) if len(argv) > 2 else 60
+    size = int(argv[3]) if len(argv) > 3 else 640
     make_split(os.path.join(out, "train"), n_train, size,
-               np.random.default_rng(0))
+               np.random.default_rng(0), keypoints=keypoints)
     make_split(os.path.join(out, "valid"), n_valid, size,
-               np.random.default_rng(1))
-    print(f"wrote {n_train} train + {n_valid} valid {size}px images to {out}")
+               np.random.default_rng(1), keypoints=keypoints)
+    print(f"wrote {n_train} train + {n_valid} valid {size}px images to {out}"
+          + (" (with keypoints)" if keypoints else ""))
 
 
 if __name__ == "__main__":

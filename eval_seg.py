@@ -1,17 +1,17 @@
-"""Detection accuracy evaluation CLI: checkpoint + val dir -> mAP@IoU.
+"""Segmentation accuracy evaluation CLI: checkpoint + val dir -> mask metrics.
 
-One command to the north-star accuracy metric (BASELINE.md): loads a
-checkpoint (deploy/RepVGG-fused form by default, like inference_det.py),
-runs forward + decode + NMS on device over a YOLO-format directory and
-prints a JSON line {"map50": ..., "ap_per_class": [...], ...}.
+One command from saved_model/segmentation/best_model to mask quality
+(VERDICT r2 item #1): mask mAP@IoU, dataset-level dice (reference dice
+definition, /root/reference/modules/segmentation_loss.py:192-193, applied
+instance-wise from a checkpoint), plus box mAP from the same run as a
+cross-check against eval_det.py. Prints ONE JSON line.
 
-The reference has no equivalent — its eval loop emits proxy metrics on
-matched cells (/root/reference/modules/detection_loss.py:198-220); this CLI
-is the beyond-reference accuracy instrument the framework is judged by.
+The reference has no checkpoint->mask-metric path at all (dice exists only
+as a train-time metric); this CLI is the beyond-reference instrument.
 
 Usage:
-    python eval_det.py --weights_path saved_model/detection/best_model/DetectionNet.ckpt.tar \
-        --data_dir data/detection/valid [--config_path .../config.yaml] [--iou 0.5]
+    python eval_seg.py --weights_path saved_model/segmentation/best_model/SegmentationNet.ckpt.tar \
+        --data_dir data/segmentation/valid [--config_path .../config.yaml] [--quantize int8]
 """
 import argparse
 import json
@@ -27,14 +27,14 @@ logger = logging.getLogger(__name__)
 def run(args) -> dict:
     import numpy as np
 
-    from vision_conglomerate_tpu.tools.eval_harness import evaluate_checkpoint_map
+    from vision_conglomerate_tpu.tools.eval_harness import evaluate_checkpoint_seg
     from vision_conglomerate_tpu.utils import load_yaml
 
     config_path = args.config_path or os.path.join(
         Path(args.weights_path).parent.resolve(), "config", "config.yaml")
     config = load_yaml(config_path)
 
-    result = evaluate_checkpoint_map(
+    result = evaluate_checkpoint_seg(
         args.weights_path,
         config,
         args.data_dir,
@@ -48,14 +48,14 @@ def run(args) -> dict:
         quantize=(args.quantize if args.quantize != "none" else None),
     )
     out = {
-        f"map{int(round(args.iou * 100))}": round(result["map"], 5),
+        f"mask_map{int(round(args.iou * 100))}": round(result["mask_map"], 5),
+        "dice": round(result["dice"], 5),
+        "dice_matched": round(result["dice_matched"], 5),
+        "mask_recall50": round(result["recall"], 5),
+        f"box_map{int(round(args.iou * 100))}": round(result["box_map"], 5),
         "iou_threshold": args.iou,
-        **({f"pck{int(round(result['pck_radius'] * 100))}": round(result["pck"], 5),
-            "pck_matched": round(result["pck_matched"], 5),
-            "num_visible_keypoints": result["num_visible_keypoints"]}
-           if "pck" in result else {}),
-        "ap_per_class": [None if np.isnan(v) else round(float(v), 5)
-                         for v in result["ap_per_class"]],
+        "mask_ap_per_class": [None if np.isnan(v) else round(float(v), 5)
+                              for v in result["mask_ap_per_class"]],
         "num_gt_per_class": [int(v) for v in result["num_gt_per_class"]],
         "num_images": result["num_images"],
         "weights": args.weights_path,
@@ -67,26 +67,27 @@ def run(args) -> dict:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(description="Detection mAP evaluation")
+    parser = argparse.ArgumentParser(description="Segmentation mask mAP + dice evaluation")
     parser.add_argument("--weights_path", type=str,
-                        default="saved_model/detection/best_model/DetectionNet.ckpt.tar",
+                        default="saved_model/segmentation/best_model/SegmentationNet.ckpt.tar",
                         metavar="", help="checkpoint manifest path")
-    parser.add_argument("--data_dir", type=str, default="data/detection/valid",
-                        metavar="", help="YOLO-format directory (images + txt labels)")
+    parser.add_argument("--data_dir", type=str, default="data/segmentation/valid",
+                        metavar="", help="directory with images + polygon-label txts")
     parser.add_argument("--config_path", type=str, default="", metavar="",
                         help="config YAML (default: <weights dir>/config/config.yaml)")
-    parser.add_argument("--batch_size", type=int, default=16, metavar="")
+    parser.add_argument("--batch_size", type=int, default=8, metavar="")
     parser.add_argument("--iou", type=float, default=0.5, metavar="",
-                        help="mAP matching IoU threshold")
+                        help="mAP matching IoU threshold (mask IoU)")
     parser.add_argument("--nms_iou_threshold", type=float, default=0.35, metavar="")
     parser.add_argument("--score_threshold", type=float, default=0.001, metavar="",
                         help="low by design: mAP integrates the full PR curve")
-    parser.add_argument("--max_detections", type=int, default=300, metavar="")
+    parser.add_argument("--max_detections", type=int, default=100, metavar="",
+                        help="capped lower than eval_det: each kept det assembles a mask")
     parser.add_argument("--max_labels", type=int, default=64, metavar="")
     parser.add_argument("--no_reparam", action="store_true",
                         help="Evaluate the train-form (multi-branch) network")
     parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
-                        help="Evaluate the int8-PTQ serving form (mAP delta check vs bf16)")
+                        help="Evaluate the int8-PTQ serving form (mask-metric delta check)")
     return parser
 
 

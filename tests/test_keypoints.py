@@ -102,6 +102,53 @@ def test_keypoint_inference_e2e(tmp_path, monkeypatch):
     assert len(glob.glob(storage + "/img_*.png")) == 2
 
 
+def test_compute_pck_oracle():
+    """Perfect keypoints -> PCK 1; off-by-a-lot -> 0; unmatched GT counts
+    its visible keypoints in the strict denominator (VERDICT r2 item #4)."""
+    from vision_conglomerate_tpu.tools.map_eval import compute_pck
+
+    # image: 1 pred matches 1 of 2 GTs; GT0 has 2 visible kps (both hit),
+    # GT1 (unmatched) has 1 visible kp
+    iou = np.asarray([[0.9, 0.0]], np.float32)
+    scores = np.asarray([0.8], np.float32)
+    pc = np.asarray([0]); gc = np.asarray([0, 0])
+    gkp = np.asarray([[[10.0, 10.0, 2], [20.0, 20.0, 2]],
+                      [[50.0, 50.0, 2], [0.0, 0.0, 0]]], np.float32)
+    pkp = np.asarray([[[10.5, 10.0, 2], [20.0, 19.5, 2]]], np.float32)
+    gwh = np.asarray([[30.0, 30.0], [10.0, 10.0]], np.float32)
+    res = compute_pck([(iou, scores, pc, gc, pkp, gkp, gwh)], r=0.1)
+    assert res["pck"] == pytest.approx(2 / 3)         # 2 correct / 3 visible
+    assert res["pck_matched"] == pytest.approx(1.0)   # both matched kps hit
+    # same setup but predictions far off -> 0
+    pkp_bad = pkp + 25.0
+    res = compute_pck([(iou, scores, pc, gc, pkp_bad, gkp, gwh)], r=0.1)
+    assert res["pck"] == 0.0
+
+
+def test_eval_harness_reports_pck(tmp_path):
+    """evaluate_pipeline_map on a keypoint model emits pck fields."""
+    from vision_conglomerate_tpu.data import DetectionDataset
+    from vision_conglomerate_tpu.losses import DetectionLossConfig
+    from vision_conglomerate_tpu.models import DetectionNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.tools.eval_harness import evaluate_pipeline_map
+    from vision_conglomerate_tpu.train import TrainDetectionPipeline, make_optimizer
+
+    root = str(tmp_path / "kp")
+    _write_kp_dataset(root, n=3)
+    ds = DetectionDataset(root, img_ext="png", img_wh=(64, 64), max_labels=4)
+    model = DetectionNet(num_classes=1, config=TINY_MODEL_CONFIG,
+                         anchors=ANCHORS, num_keypoints=2)
+    tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
+    pipe = TrainDetectionPipeline(
+        model, DetectionLossConfig(num_classes=1, num_keypoints=2), tx,
+        mesh=make_mesh(1), sample_input_shape=(64, 64, 3))
+    res = evaluate_pipeline_map(pipe, ds, batch_size=3)
+    assert "pck" in res and 0.0 <= res["pck"] <= 1.0
+    assert res["num_visible_keypoints"] == 3  # 1 visible kp (v=1) per image
+    assert res["pck_radius"] == 0.1
+
+
 def test_keypoint_inference_decode():
     """Inference decode maps bbox-relative keypoints to pixels; postprocess
     emits (x, y, argmax-vis)."""

@@ -1,0 +1,100 @@
+"""Seg candidate-cap selection policy (VERDICT r2 item #10): when a crowded
+image has more matched candidates than `seg_candidates_per_image`, which
+ones keep mask supervision is a policy, not assignment-order luck."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_conglomerate_tpu.losses.segmentation_loss import (
+    SegmentationLossConfig, _candidate_priority, _select_top_candidates)
+
+
+def _setup(n=8, b=2):
+    rng = np.random.default_rng(0)
+    valid = np.zeros((b, n), bool)
+    valid[0, :6] = True          # 6 valid candidates, cap 4 -> 2 dropped
+    valid[1, [1, 3]] = True      # under cap
+    t_xywh = np.zeros((b, n, 4), np.float32)
+    t_xywh[..., 2] = rng.uniform(1, 10, (b, n))
+    t_xywh[..., 3] = rng.uniform(1, 10, (b, n))
+    payload = np.arange(b * n, dtype=np.float32).reshape(b, n, 1)
+    return jnp.asarray(valid), jnp.asarray(t_xywh), jnp.asarray(payload)
+
+
+def test_first_policy_keeps_assignment_order():
+    valid, t_xywh, payload = _setup()
+    cfg = SegmentationLossConfig(num_classes=2, cap_policy="first")
+    pri = _candidate_priority(cfg, valid, t_xywh, None)
+    (sel,), sel_valid = _select_top_candidates([payload], valid, pri, cap=4)
+    # image 0: first 4 valid indices 0..3
+    np.testing.assert_array_equal(np.asarray(sel[0, :, 0]), [0, 1, 2, 3])
+    assert bool(sel_valid[0].all())
+    # image 1: 2 valid (indices 1, 3), rest padded invalid
+    assert np.asarray(sel_valid[1]).sum() == 2
+    got = set(np.asarray(sel[1, :, 0])[np.asarray(sel_valid[1])])
+    assert got == {8 + 1, 8 + 3}
+
+
+def test_area_policy_prefers_large_boxes():
+    valid, t_xywh, payload = _setup()
+    cfg = SegmentationLossConfig(num_classes=2, cap_policy="area")
+    pri = _candidate_priority(cfg, valid, t_xywh, None)
+    (sel,), sel_valid = _select_top_candidates([payload], valid, pri, cap=4)
+    areas = np.asarray(t_xywh[..., 2] * t_xywh[..., 3])
+    top4 = set(np.argsort(-np.where(np.asarray(valid[0]), areas[0], -np.inf))[:4])
+    got = set(int(v) for v in np.asarray(sel[0, :, 0])[np.asarray(sel_valid[0])])
+    assert got == top4
+
+
+def test_random_policy_rotates_with_rng():
+    valid, t_xywh, payload = _setup()
+    cfg = SegmentationLossConfig(num_classes=2, cap_policy="random")
+    seen = set()
+    for step in range(16):
+        pri = _candidate_priority(cfg, valid, t_xywh, jax.random.PRNGKey(step))
+        (sel,), sel_valid = _select_top_candidates([payload], valid, pri, cap=4)
+        assert np.asarray(sel_valid[0]).sum() == 4  # always fills the cap
+        seen |= set(int(v) for v in np.asarray(sel[0, :, 0])[np.asarray(sel_valid[0])])
+    # over steps, every valid candidate of the crowded image gets supervision
+    assert seen == {0, 1, 2, 3, 4, 5}
+
+
+def test_random_policy_requires_rng():
+    valid, t_xywh, _ = _setup()
+    cfg = SegmentationLossConfig(num_classes=2, cap_policy="random")
+    with pytest.raises(ValueError, match="rng"):
+        _candidate_priority(cfg, valid, t_xywh, None)
+
+
+def test_seg_loss_runs_with_each_policy():
+    """Full segmentation_loss under each policy: finite loss, dropped metric
+    still visible."""
+    from vision_conglomerate_tpu.losses.segmentation_loss import segmentation_loss
+
+    rng = np.random.default_rng(1)
+    b, m = 2, 12
+    ny = nx = 8
+    c, k = 2, 4
+    d = 5 + c + k
+    preds = [jnp.asarray(rng.normal(size=(b, ny, nx, 3, d)), jnp.float32)
+             for _ in range(3)]
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    for j in range(m):  # crowded: 12 instances per image
+        labels[:, j] = [j % c, (j % 4) * 0.25 + 0.12, (j // 4) * 0.3 + 0.15, 0.2, 0.2]
+        mask[:, j] = True
+    protos = jnp.asarray(rng.normal(size=(b, 16, 16, k)), jnp.float32)
+    tmasks = np.zeros((b, 16, 16), np.float32)
+    tmasks[:, 4:12, 4:12] = 3.0
+    anchors = [jnp.asarray([[0.1, 0.1], [0.2, 0.2], [0.3, 0.3]], jnp.float32)] * 3
+
+    for policy in ("first", "area", "random"):
+        cfg = SegmentationLossConfig(
+            num_classes=c, seg_candidates_per_image=8, cap_policy=policy)
+        loss, metrics = segmentation_loss(
+            preds, jnp.asarray(labels), jnp.asarray(mask), protos,
+            jnp.asarray(tmasks), anchors, cfg, rng=jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss)), policy
+        assert float(metrics["seg_dropped_candidates"]) >= 0.0

@@ -183,3 +183,23 @@ def test_bytetrack_lost_buffer_expiry():
         tracker.update_with_detections(empty)
     out = tracker.update_with_detections(mk(10))
     assert len(out) == 1 and int(out.tracker_id[0]) != id0
+
+
+def test_bytetrack_birth_threshold():
+    """New tracks need score >= activation + 0.1 (original det_thresh =
+    track_thresh + 0.1 rule — docs/BYTETRACK_AUDIT.md §1); an existing track
+    still matches detections in the (activation, activation+0.1] band."""
+    tracker = ByteTrack(track_activation_threshold=0.3)
+    mk = lambda x, s: Detections(  # noqa: E731
+        xyxy=np.asarray([[x, 10, x + 20, 30]], np.float32),
+        confidence=np.asarray([s], np.float32), class_id=np.asarray([0]))
+    # 0.35 is "high" (> 0.3) but below det_thresh 0.4 -> no birth
+    assert len(tracker.update_with_detections(mk(10, 0.35))) == 0
+    assert len(tracker.tracks) == 0
+    # 0.45 births a track
+    out = tracker.update_with_detections(mk(10, 0.45))
+    assert len(out) == 1
+    tid = int(out.tracker_id[0])
+    # an established track DOES match a 0.35-score detection (stage 1)
+    out = tracker.update_with_detections(mk(12, 0.35))
+    assert len(out) == 1 and int(out.tracker_id[0]) == tid

@@ -82,7 +82,10 @@ def run(args, config, config_path, anchors_path):
 
     opt_cfg = dict(tc["optimizer_config"])
     opt_cfg["lr"] = float(opt_cfg.get("lr", 1e-3)) * n_devices
-    tx, base_lr = make_optimizer(opt_cfg)
+    # train_anchors=False freezes anchors exactly like the reference's
+    # requires_grad gate (/root/reference/modules/detection.py:36-38)
+    tx, base_lr = make_optimizer(
+        opt_cfg, train_anchors=bool(config["model_config"].get("train_anchors", True)))
     scheduler = (make_lr_scheduler(tc.get("lr_scheduler_config"), base_lr)
                  if args.lr_schedule else None)
 

@@ -73,6 +73,11 @@ class TrackNetDataset:
             return self._cache[idx]
         item = self._load_item(idx)
         if self.cache:
+            # cached arrays are shared across epochs: freeze them so an
+            # in-place mutation by a future consumer fails loudly instead of
+            # silently corrupting the cache (collate_fn copies today)
+            for arr in item:
+                arr.flags.writeable = False
             self._cache[idx] = item
         return item
 
@@ -88,8 +93,11 @@ class TrackNetDataset:
             x = x * (self.img_wh[0] / stacked.shape[1])
             y = y * (self.img_wh[1] / stacked.shape[0])
         # uint8 mode resizes the raw bytes and leaves /255 to the trainer's
-        # in-jit normalize (4x less H2D; <=0.5/255 rounding vs the
-        # reference's /255-then-resize order, utils/utils.py:40)
+        # in-jit normalize (4x less H2D). Error vs the reference's
+        # /255-then-resize order (utils/utils.py:40) is ~1.5/255 worst-case,
+        # not one LSB: cv2 bilinear on uint8 inputs quantizes before
+        # interpolating (measured bound in tests/test_tracknet.py::
+        # test_tracknet_dataset_uint8_transfer, atol=1.5/255).
         stacked = cv2.resize(stacked, self.img_wh, interpolation=cv2.INTER_LINEAR)
         heatmap = make_gt_heatmap_np(
             int(x), int(y), int(visibility), self.img_wh, variance=self.avg_diameter)

@@ -6,9 +6,17 @@ reference loops over `batch_idx.unique()` and materialises one
 matched candidates are *compacted per image* into a fixed number of slots
 (`seg_candidates_per_image`), and the whole mask loss is one batched einsum
 `protos (B,H,W,K) x coefs (B,S,K) -> (B,S,H,W)` on the MXU plus masked
-reductions. Candidates beyond the cap are dropped (score-free truncation in
-assignment order); the cap is configurable and generous vs typical object
-counts.
+reductions. When an image has more matched candidates than the cap, WHICH
+candidates keep mask supervision is set by `cap_policy` (VERDICT r2 item
+#10 — the reference drops nothing, it loops dynamically,
+segmentation_loss.py:161-173):
+- "first":  assignment order (legacy; crowded images systematically lose
+            the same late-slot instances every step);
+- "area":   larger target boxes win (stable, biased toward big masks);
+- "random": per-step uniform rotation (needs the trainer rng) — every
+            candidate gets supervision in expectation, the closest
+            approximation of the reference's drop-nothing semantics.
+The cap itself is configurable and generous vs typical object counts.
 
 Semantics preserved:
 - overlap-mask mode rebuilds per-instance binary masks by id comparison
@@ -43,22 +51,37 @@ class SegmentationLossConfig(DetectionLossConfig):
     overlap_masks: bool = True
     seg_candidates_per_image: int = 32
     crop_mode: str = "reference"  # "reference" | "corrected"
+    cap_policy: str = "first"     # "first" | "area" | "random" (see module doc)
 
 
-def _compact_per_image(values, valid: jnp.ndarray, cap: int):
-    """Compact valid rows of (B, N, ...) tensors into (B, cap, ...) slots."""
-    b, n = valid.shape
-    rank = jnp.cumsum(valid, axis=1) - 1
-    dest = jnp.where(valid & (rank < cap), rank, cap)
-    rows = jnp.arange(b)[:, None]
+def _select_top_candidates(values, valid: jnp.ndarray, priority: jnp.ndarray,
+                           cap: int):
+    """Select the `cap` highest-priority valid rows of (B, N, ...) tensors
+    into (B, cap, ...) slots (invalid rows get -inf priority; lax.top_k
+    breaks ties by lower index, so equal priorities keep assignment order)."""
+    keyed = jnp.where(valid, priority, -jnp.inf)
+    _, idx = jax.lax.top_k(keyed, cap)  # (B, cap)
     out = []
     for v in values:
-        tail = v.shape[2:]
-        buf = jnp.zeros((b, cap + 1) + tail, v.dtype).at[rows, dest].set(v, mode="drop")
-        out.append(buf[:, :cap])
-    count = jnp.minimum(valid.sum(axis=1), cap)
-    out_valid = jnp.arange(cap)[None, :] < count[:, None]
+        ix = idx.reshape(idx.shape + (1,) * (v.ndim - 2))
+        out.append(jnp.take_along_axis(v, ix, axis=1))
+    out_valid = jnp.take_along_axis(valid, idx, axis=1)
     return out, out_valid
+
+
+def _candidate_priority(cfg: SegmentationLossConfig, valid: jnp.ndarray,
+                        t_xywh: jnp.ndarray, rng) -> jnp.ndarray:
+    if cfg.cap_policy == "first":
+        n = valid.shape[1]
+        return jnp.broadcast_to(-jnp.arange(n, dtype=jnp.float32)[None, :], valid.shape)
+    if cfg.cap_policy == "area":
+        return t_xywh[..., 2] * t_xywh[..., 3]  # fmap-grid units ∝ true area
+    if cfg.cap_policy == "random":
+        if rng is None:
+            raise ValueError("cap_policy='random' needs the trainer rng")
+        return jax.random.uniform(rng, valid.shape)
+    raise ValueError(f"Unknown cap_policy {cfg.cap_policy!r}; "
+                     f"supported: first, area, random")
 
 
 def seg_scale_loss(
@@ -69,6 +92,7 @@ def seg_scale_loss(
     target_masks: jnp.ndarray,  # overlap: (B, Hm, Wm); else (B, M, Hm, Wm)
     anchors: jnp.ndarray,
     cfg: SegmentationLossConfig,
+    rng=None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     b, ny, nx, na, _ = preds.shape
     c = cfg.num_classes
@@ -100,10 +124,12 @@ def seg_scale_loss(
     n_per_img = asn.valid.shape[0] // b
     reshape_img = lambda t: t.reshape((b, n_per_img) + t.shape[1:])  # noqa: E731
     valid_img = reshape_img(asn.valid)
-    (c_coefs, c_tmask_idx, c_txywh, c_slot), c_valid = _compact_per_image(
+    txywh_img = reshape_img(asn.t_xywh)
+    priority = _candidate_priority(cfg, valid_img, txywh_img, rng)
+    (c_coefs, c_tmask_idx, c_txywh, c_slot), c_valid = _select_top_candidates(
         [reshape_img(coefs), reshape_img(asn.tmask_idx),
-         reshape_img(asn.t_xywh), reshape_img(asn.label_slot)],
-        valid_img, cap,
+         txywh_img, reshape_img(asn.label_slot)],
+        valid_img, priority, cap,
     )
     # candidates silently lost to the fixed cap (crowded images): surfaced as
     # a metric so cap pressure is visible instead of silent (VERDICT r1 #6)
@@ -176,13 +202,15 @@ def segmentation_loss(
     target_masks: jnp.ndarray,
     anchors: Sequence[jnp.ndarray],
     cfg: SegmentationLossConfig,
+    rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Aggregate 3-scale segmentation loss (reference forward,
     segmentation_loss.py:26-73)."""
     per_scale = [
         seg_scale_loss(p, labels, label_mask, protos, target_masks,
-                       jax.lax.stop_gradient(a), cfg)
-        for p, a in zip(preds, anchors)
+                       jax.lax.stop_gradient(a), cfg,
+                       rng=None if rng is None else jax.random.fold_in(rng, i))
+        for i, (p, a) in enumerate(zip(preds, anchors))
     ]
     sw = cfg.scale_w
 

@@ -8,7 +8,12 @@ Differences from the reference, by design:
   detection.py:36-38 — same here via the param pytree). NOTE: as in the
   reference, no gradient ever reaches them (train-mode decode does not use
   anchors; the loss detaches them), so `train_anchors` only controls whether
-  they are masked out of the optimizer;
+  the optimizer may touch them at all: train CLIs pass it to
+  `make_optimizer(..., train_anchors=...)`, whose False path zeroes every
+  anchor update (train/optim.py:_freeze_anchors_transform) — matching
+  torch's requires_grad=False, where even weight decay can't shrink them.
+  With True, torch semantics are likewise kept: a nonzero weight_decay
+  decays the zero-grad anchors, exactly as torch Adam would;
 - RepVGG deploy form is selected with `deploy=True` + params derived by
   `nn.reparam.reparameterize_params` (pure transform, no module mutation).
 

@@ -4,18 +4,34 @@ The reference delegates tracking to `supervision.ByteTrack`
 (/root/reference/inference_det.py:288-294, configured with
 track_activation_threshold=0.35, lost_track_buffer=30,
 minimum_matching_threshold=0.85, frame_rate=30,
-minimum_consecutive_frames=1). That package is not available here, so this
-is a from-scratch implementation of the ByteTrack association algorithm
-(Zhang et al., 2022): a constant-velocity Kalman filter per track plus
-two-stage IoU association — high-score detections first, then low-score
-detections against the remaining tracks.
+minimum_consecutive_frames=1). That package is not installable here (zero
+egress), so this is a from-scratch implementation of the ByteTrack
+association algorithm (Zhang et al., 2022) aligned rule-by-rule with the
+original BYTETracker that supervision vendors. The full parameter-level
+audit — every KF std weight, threshold, state rule, and the residual
+divergences — lives in docs/BYTETRACK_AUDIT.md (VERDICT r2 item #9).
+
+Semantics implemented (original ByteTrack, non-MOT20 path):
+- score bands: high = score > track_activation_threshold,
+  low = 0.1 < score < track_activation_threshold;
+- stage 1: high dets vs activated+lost tracks, cost = 1 - IoU*det_score
+  ("fuse_score"), accept at cost <= minimum_matching_threshold;
+- stage 2: low dets vs ONLY the stage-1-unmatched tracks that were in the
+  Tracked state (lost tracks are not eligible), plain IoU cost, thresh 0.5;
+  unmatched become Lost;
+- stage 3: tentative (not yet activated) tracks vs leftover high dets,
+  fused cost, thresh 0.7; unmatched tentatives are removed immediately;
+- births: leftover high dets with score >= track_activation_threshold + 0.1
+  (the original's det_thresh = track_thresh + 0.1);
+- lost tracks are pruned after max_time_lost =
+  int(frame_rate / 30 * lost_track_buffer) frames.
 
 Tracking is sequential per-frame CPU logic by design (SURVEY.md §2.2): the
 TPU handles everything up to and including NMS; the (<=K, 6) filtered boxes
 then cross to host for association/drawing.
 """
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -52,7 +68,14 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _KalmanFilter:
-    """Constant-velocity KF on (cx, cy, aspect, h) + velocities."""
+    """Constant-velocity KF on (cx, cy, aspect, h) + velocities.
+
+    Noise model audited against supervision's vendored KalmanFilter
+    (docs/BYTETRACK_AUDIT.md §2): std_weight_position=1/20,
+    std_weight_velocity=1/160; initiate/predict/update stds match entry for
+    entry. Gain is computed with a plain inverse instead of the Cholesky
+    solve — algebraically identical, different rounding only.
+    """
 
     ndim = 4
 
@@ -113,7 +136,12 @@ def _cxcyah_to_xyxy(state):
     return np.asarray([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
 
 
-@dataclass
+# track states (original TrackState enum)
+TRACKED = 0
+LOST = 1
+
+
+@dataclass(eq=False)  # identity equality: fields hold numpy arrays
 class _Track:
     mean: np.ndarray
     cov: np.ndarray
@@ -123,6 +151,7 @@ class _Track:
     hits: int = 1
     time_since_update: int = 0
     activated: bool = False
+    state: int = TRACKED
 
     @property
     def xyxy(self):
@@ -140,6 +169,8 @@ class ByteTrack:
         low_score_threshold: float = 0.1,
     ):
         self.track_activation_threshold = track_activation_threshold
+        # original: det_thresh = track_thresh + 0.1 gates NEW track births
+        self.det_thresh = track_activation_threshold + 0.1
         self.max_time_lost = int(frame_rate / 30.0 * lost_track_buffer)
         self.match_thresh = minimum_matching_threshold
         self.min_consecutive = minimum_consecutive_frames
@@ -152,84 +183,134 @@ class ByteTrack:
         self.tracks = []
         self._next_id = 1
 
-    def _match(self, tracks: List[_Track], dets: Detections, iou_thresh: float):
-        track_boxes = np.asarray([t.xyxy for t in tracks]).reshape(-1, 4)
-        iou = _iou_matrix(track_boxes, dets.xyxy)
-        cost = 1.0 - iou
+    @staticmethod
+    def _assign(cost: np.ndarray, thresh: float
+                ) -> Tuple[list, list, list]:
+        """Hungarian assignment; pairs with cost > thresh are rejected.
+
+        The original uses lap.lapjv(cost_limit=thresh); scipy optimizes
+        globally then we drop over-threshold pairs — equivalent except in
+        rare degenerate cost ties (docs/BYTETRACK_AUDIT.md §4).
+        """
+        n_t, n_d = cost.shape
         if cost.size == 0:
-            return [], list(range(len(tracks))), list(range(len(dets)))
+            return [], list(range(n_t)), list(range(n_d))
         rows, cols = linear_sum_assignment(cost)
-        matches, un_t, un_d = [], [], []
-        matched_t, matched_d = set(), set()
+        matches, matched_t, matched_d = [], set(), set()
         for r, c in zip(rows, cols):
-            if iou[r, c] >= 1.0 - iou_thresh:
+            if cost[r, c] <= thresh:
                 matches.append((r, c))
                 matched_t.add(r)
                 matched_d.add(c)
-        un_t = [i for i in range(len(tracks)) if i not in matched_t]
-        un_d = [i for i in range(len(dets)) if i not in matched_d]
+        un_t = [i for i in range(n_t) if i not in matched_t]
+        un_d = [i for i in range(n_d) if i not in matched_d]
         return matches, un_t, un_d
+
+    def _fused_cost(self, tracks: List[_Track], dets: Detections,
+                    scores: np.ndarray) -> np.ndarray:
+        """Stage-1/3 cost: 1 - IoU * det_score (original fuse_score)."""
+        track_boxes = np.asarray([t.xyxy for t in tracks]).reshape(-1, 4)
+        iou = _iou_matrix(track_boxes, dets.xyxy)
+        return 1.0 - iou * scores[None, :]
+
+    def _iou_cost(self, tracks: List[_Track], dets: Detections) -> np.ndarray:
+        track_boxes = np.asarray([t.xyxy for t in tracks]).reshape(-1, 4)
+        return 1.0 - _iou_matrix(track_boxes, dets.xyxy)
+
+    def _hit(self, t: _Track, dets: Detections, scores: np.ndarray, c: int):
+        """Matched-track update (covers the original's update + re_activate:
+        both run a KF update, reset the lost clock and keep the id)."""
+        t.mean, t.cov = self.kf.update(t.mean, t.cov, _xyxy_to_cxcyah(dets.xyxy[c]))
+        t.score = float(scores[c])
+        t.hits += 1
+        t.time_since_update = 0
+        t.state = TRACKED
+        if t.hits >= self.min_consecutive:
+            t.activated = True
 
     def update_with_detections(self, detections: Detections) -> Detections:
         """Associate detections with tracks; returns detections whose rows are
         the activated matched tracks with tracker_id filled."""
         scores = (detections.confidence if detections.confidence is not None
                   else np.ones(len(detections)))
-        high = scores >= self.track_activation_threshold
-        low = (~high) & (scores >= self.low_thresh)
-        dets_high = detections[high]
-        dets_low = detections[low]
+        # original score bands (both strict): high > thresh, low in (0.1, thresh)
+        high = scores > self.track_activation_threshold
+        low = (~high) & (scores > self.low_thresh)
+        dets_high, s_high = detections[high], scores[high]
+        dets_low, s_low = detections[low], scores[low]
 
         for t in self.tracks:
             t.mean, t.cov = self.kf.predict(t.mean, t.cov)
             t.time_since_update += 1
 
-        # stage 1: high-score detections vs all tracks
-        matches, un_t, un_d_high = self._match(self.tracks, dets_high, self.match_thresh)
+        # pool = activated (tracked or lost) tracks; tentative tracks are
+        # handled separately in stage 3 (original unconfirmed logic)
+        pool = [t for t in self.tracks if t.activated]
+        tentative = [t for t in self.tracks if not t.activated]
+
         out_rows = []
+
+        # stage 1: high-score detections vs activated pool, fused cost
+        matches, un_t, un_d_high = self._assign(
+            self._fused_cost(pool, dets_high, s_high), self.match_thresh)
         for r, c in matches:
-            t = self.tracks[r]
-            t.mean, t.cov = self.kf.update(
-                t.mean, t.cov, _xyxy_to_cxcyah(dets_high.xyxy[c]))
-            t.score = float(scores[high][c])
-            t.hits += 1
-            t.time_since_update = 0
-            if t.hits >= self.min_consecutive:
-                t.activated = True
-            if t.activated:
-                out_rows.append((t, dets_high, c))
+            self._hit(pool[r], dets_high, s_high, c)
+            out_rows.append((pool[r], dets_high, c))
 
-        # stage 2: low-score detections vs remaining tracks
-        remaining = [self.tracks[i] for i in un_t]
-        matches2, un_t2, _ = self._match(remaining, dets_low, 0.5)
+        # stage 2: low-score detections vs stage-1-unmatched tracks that were
+        # TRACKED entering this frame; lost tracks are not eligible (original
+        # r_tracked_stracks rule). Plain IoU cost, fixed 0.5 threshold.
+        r_tracked = [pool[i] for i in un_t if pool[i].state == TRACKED
+                     and pool[i].time_since_update == 1]
+        matches2, un_t2, _ = self._assign(
+            self._iou_cost(r_tracked, dets_low), 0.5)
         for r, c in matches2:
-            t = remaining[r]
-            t.mean, t.cov = self.kf.update(
-                t.mean, t.cov, _xyxy_to_cxcyah(dets_low.xyxy[c]))
-            t.score = float(scores[low][c])
-            t.hits += 1
-            t.time_since_update = 0
-            if t.activated:
-                out_rows.append((t, dets_low, c))
+            self._hit(r_tracked[r], dets_low, s_low, c)
+            out_rows.append((r_tracked[r], dets_low, c))
+        for i in un_t2:
+            r_tracked[i].state = LOST
 
-        # births from unmatched high-score detections
-        for c in un_d_high:
-            if scores[high][c] < self.track_activation_threshold:
+        # stage-1-unmatched tracks that weren't eligible for stage 2 -> lost
+        for i in un_t:
+            t = pool[i]
+            if t.time_since_update > 0 and t not in r_tracked:
+                t.state = LOST
+
+        # stage 3: tentative tracks vs leftover high dets (fused cost, 0.7);
+        # unmatched tentatives are removed immediately (original
+        # mark_removed on unconfirmed)
+        left_high = dets_high[np.asarray(un_d_high, int)]
+        s_left = s_high[np.asarray(un_d_high, int)]
+        matches3, un_t3, un_d3 = self._assign(
+            self._fused_cost(tentative, left_high, s_left), 0.7)
+        removed = set()
+        for r, c in matches3:
+            self._hit(tentative[r], left_high, s_left, c)
+            if tentative[r].activated:
+                out_rows.append((tentative[r], left_high, c))
+        for i in un_t3:
+            removed.add(id(tentative[i]))
+
+        # births from still-unmatched high-score dets above det_thresh
+        for c in un_d3:
+            if s_left[c] < self.det_thresh:
                 continue
-            mean, cov = self.kf.initiate(_xyxy_to_cxcyah(dets_high.xyxy[c]))
+            mean, cov = self.kf.initiate(_xyxy_to_cxcyah(left_high.xyxy[c]))
             t = _Track(
-                mean=mean, cov=cov, score=float(scores[high][c]),
-                class_id=int(dets_high.class_id[c]) if dets_high.class_id is not None else -1,
+                mean=mean, cov=cov, score=float(s_left[c]),
+                class_id=int(left_high.class_id[c]) if left_high.class_id is not None else -1,
                 track_id=self._next_id,
                 activated=self.min_consecutive <= 1,
             )
             self._next_id += 1
             self.tracks.append(t)
             if t.activated:
-                out_rows.append((t, dets_high, c))
+                out_rows.append((t, left_high, c))
 
-        # deaths
-        self.tracks = [t for t in self.tracks if t.time_since_update <= self.max_time_lost]
+        # deaths: expired lost tracks + unmatched tentatives
+        self.tracks = [
+            t for t in self.tracks
+            if id(t) not in removed and t.time_since_update <= self.max_time_lost]
 
         if not out_rows:
             return Detections(

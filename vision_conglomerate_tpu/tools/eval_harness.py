@@ -38,16 +38,22 @@ def _collect_and_score(
     num_classes: int,
     img_wh: Tuple[int, int],
     iou_threshold: float = 0.5,
+    num_keypoints: int = 0,
+    pck_radius: float = 0.1,
 ) -> Dict[str, Any]:
-    """Run `forward` over the dataset, pair with GTs, compute mAP.
+    """Run `forward` over the dataset, pair with GTs, compute mAP (+ PCK@r
+    keypoint accuracy when num_keypoints > 0 — VERDICT r2 item #4).
 
     forward: (B, H, W, 3) uint8/float batch -> PostProcessResult.
     The final partial batch is padded by repeating the last sample (one
     compiled shape), padded rows are discarded host-side.
     """
+    from .map_eval import _iou_matrix, compute_pck
+
     w, h = img_wh
     scale = np.asarray([w, h, w, h], np.float32)
     predictions, ground_truths = [], []
+    pck_rows = []
     n = len(dataset)
     for lo in range(0, n, batch_size):
         idxs = list(range(lo, min(lo + batch_size, n)))
@@ -60,16 +66,33 @@ def _collect_and_score(
         scores = np.asarray(post.scores, np.float32)
         classes = np.asarray(post.classes)
         valid = np.asarray(post.valid)
+        kps = np.asarray(post.keypoints, np.float32) if num_keypoints else None
         for k in range(len(idxs)):
             v = valid[k]
             predictions.append((boxes[k][v], scores[k][v], classes[k][v]))
             lab = labels[k][mask[k]]
             gt_xyxy = xywh2xyxy_np(lab[:, 1:5]) * scale
-            ground_truths.append((gt_xyxy, lab[:, 0].astype(np.int64)))
+            gt_cls = lab[:, 0].astype(np.int64)
+            ground_truths.append((gt_xyxy, gt_cls))
+            if num_keypoints:
+                # stored GT keypoints are bbox-relative (reference
+                # detection_dataset.py:41-51); map back to input pixels
+                gkp = lab[:, 5:].reshape(-1, num_keypoints, 3).copy()
+                span = (gt_xyxy[:, None, 2:] - gt_xyxy[:, None, :2])
+                gkp[..., :2] = gt_xyxy[:, None, :2] + gkp[..., :2] * span
+                gt_wh = np.stack([gt_xyxy[:, 2] - gt_xyxy[:, 0],
+                                  gt_xyxy[:, 3] - gt_xyxy[:, 1]], axis=1)
+                pck_rows.append((
+                    _iou_matrix(boxes[k][v], gt_xyxy), scores[k][v],
+                    classes[k][v], gt_cls, kps[k][v], gkp, gt_wh))
 
     result = compute_map(predictions, ground_truths, num_classes,
                          iou_threshold=iou_threshold)
     result["num_images"] = n
+    if num_keypoints:
+        result.update(compute_pck(pck_rows, r=pck_radius,
+                                  iou_threshold=iou_threshold))
+        result["pck_radius"] = pck_radius
     return result
 
 
@@ -160,7 +183,160 @@ def evaluate_checkpoint_map(
         max_detections=max_detections,
     )
     return _collect_and_score(
-        forward, dataset, batch_size, num_classes, img_wh, iou_threshold)
+        forward, dataset, batch_size, num_classes, img_wh, iou_threshold,
+        num_keypoints=num_keypoints or 0)
+
+
+def evaluate_checkpoint_seg(
+    weights_path: str,
+    config: Dict[str, Any],
+    data_dir: str,
+    batch_size: int = 8,
+    iou_threshold: float = 0.5,
+    nms_iou_threshold: float = 0.35,
+    score_threshold: float = 0.001,
+    max_detections: int = 100,
+    use_reparam: bool = True,
+    dtype=jnp.bfloat16,
+    max_labels: int = 64,
+    quantize: Optional[str] = None,  # None | "int8" (PTQ, first-batch calib)
+) -> Dict[str, Any]:
+    """Segmentation checkpoint + polygon-label val dir -> mask metrics.
+
+    One command from saved_model/segmentation/best_model to mask quality
+    (VERDICT r2 item #1). Protocol:
+    - forward + decode + NMS + prototype mask assembly run as ONE jitted
+      program per batch shape; masks are assembled at the protos' native
+      resolution (input/4: ProtoSeg convs the stride-8 neck map then
+      x2-upsamples, /root/reference/modules/common.py:531-546) with the
+      reference's sigmoid(coefs @ protos) > 0.5 binarisation
+      (/root/reference/inference_seg.py:123-126);
+    - GT instance masks are rasterized from the val polygons at the same
+      resolution (the dataset's overlap-mask path, slot m <-> mask id m+1);
+    - pairwise pred/GT mask intersections + areas are reduced ON DEVICE —
+      only (K, M)-shaped matrices cross to host (the tunnel ships ~KB per
+      batch instead of the raw (K, Hp, Wp) masks);
+    - host computes mask mAP@iou (same AP machinery as box mAP) and the
+      dataset dice protocol (tools/map_eval.greedy_dice: greedy score-order
+      matching at mask IoU >= 0.5; `dice` averages over all GT instances
+      with unmatched GT counting 0, `dice_matched` over matched pairs; dice
+      itself is the reference's 2|P∩G|/(|P|+|G|) definition,
+      /root/reference/modules/segmentation_loss.py:192-193).
+    Box mAP over the same run is reported as `box_map` for cross-checking
+    against eval_det.py.
+    """
+    from ..data.segmentation import SegmentationDataset
+    from ..infer.runner import load_detection_model, quantize_model_int8
+    from ..nn.quantize import int8_serving
+    from .map_eval import compute_map_from_iou, greedy_dice
+
+    model_config = config["model_config"]
+    tc = config["train_config"]
+    img_wh = tuple(tc["img_config"]["img_wh"])
+    num_masks = int(model_config.get("num_masks", 32))
+
+    # GT masks stored at protos resolution (input/4, matching train_seg.py's
+    # mask_store_wh) so device-side intersections need no resize
+    proto_wh = (img_wh[0] // 4, img_wh[1] // 4)
+    dataset = SegmentationDataset(
+        data_dir,
+        img_ext=tc["img_config"]["img_ext"],
+        img_wh=img_wh,
+        max_labels=max_labels,
+        overlap_masks=True,
+        mask_store_wh=proto_wh,
+    )
+    model, variables, num_classes = load_detection_model(
+        weights_path, model_config, task="segmentation",
+        use_reparam=use_reparam, dtype=dtype)
+
+    int8 = quantize == "int8"
+    if int8:
+        if not use_reparam:
+            raise ValueError("quantize='int8' requires use_reparam=True")
+        imgs, _, _, _ = dataset.collate_fn(
+            [dataset[i] for i in range(min(batch_size, len(dataset)))])
+        calib = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+        variables = quantize_model_int8(model, variables, calib)
+
+    @jax.jit
+    def forward(x, gt_overlap):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        with bn_folding(use_reparam), int8_serving(int8):
+            preds, protos = model.apply(variables, x, train=False, inference=True)
+        post = postprocess_detections(
+            preds, num_classes=num_classes, num_masks=num_masks,
+            iou_threshold=nms_iou_threshold,
+            score_threshold=score_threshold,
+            box_allowance=0.0,
+            max_detections=max_detections,
+        )
+        # predicted instance masks at protos native res (no resize)
+        logits = jnp.einsum(
+            "bhwk,bnk->bnhw", protos.astype(jnp.float32), post.mask_coefs)
+        pm = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        # GT instance masks from the overlap-indexed map: slot m <-> id m+1
+        if gt_overlap.shape[1:] != protos.shape[1:3]:  # odd sizes: nearest align
+            gt_overlap = jax.image.resize(
+                gt_overlap, (gt_overlap.shape[0],) + protos.shape[1:3],
+                method="nearest")
+        ids = jnp.arange(1, max_labels + 1, dtype=gt_overlap.dtype)
+        gm = (gt_overlap[:, None, :, :] == ids[None, :, None, None]).astype(jnp.float32)
+        inter = jnp.einsum("bnhw,bmhw->bnm", pm, gm)
+        parea = pm.sum(axis=(2, 3))
+        garea = gm.sum(axis=(2, 3))
+        return post, inter, parea, garea
+
+    w, h = img_wh
+    scale = np.asarray([w, h, w, h], np.float32)
+    per_image_mask = []   # (iou, scores, pred_classes, gt_classes)
+    per_image_dice = []   # (iou, dice, scores, pred_classes, gt_classes)
+    box_pred, box_gt = [], []
+    n = len(dataset)
+    for lo in range(0, n, batch_size):
+        idxs = list(range(lo, min(lo + batch_size, n)))
+        imgs, labels, vmask, tmasks = dataset.collate_fn([dataset[i] for i in idxs])
+        pad = batch_size - imgs.shape[0]
+        if pad:  # repeat-last padding keeps one compiled shape
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            tmasks = np.concatenate([tmasks, np.repeat(tmasks[-1:], pad, axis=0)])
+        post, inter, parea, garea = forward(jnp.asarray(imgs), jnp.asarray(tmasks))
+        boxes = np.asarray(post.boxes_xyxy, np.float32)
+        scores = np.asarray(post.scores, np.float32)
+        classes = np.asarray(post.classes)
+        valid = np.asarray(post.valid)
+        inter = np.asarray(inter, np.float32)
+        parea = np.asarray(parea, np.float32)
+        garea = np.asarray(garea, np.float32)
+        for k in range(len(idxs)):
+            v = valid[k]
+            gv = vmask[k] & (garea[k] > 0)
+            gt_classes = labels[k][gv][:, 0].astype(np.int64)
+            it = inter[k][v][:, gv]
+            pa = parea[k][v]
+            ga = garea[k][gv]
+            union = pa[:, None] + ga[None, :] - it
+            iou = it / np.maximum(union, 1e-9)
+            dice = 2.0 * it / np.maximum(pa[:, None] + ga[None, :], 1e-9)
+            per_image_mask.append((iou, scores[k][v], classes[k][v], gt_classes))
+            per_image_dice.append((iou, dice, scores[k][v], classes[k][v], gt_classes))
+            # box mAP cross-check on the same run
+            lab = labels[k][vmask[k]]
+            box_pred.append((boxes[k][v], scores[k][v], classes[k][v]))
+            box_gt.append((xywh2xyxy_np(lab[:, 1:5]) * scale, lab[:, 0].astype(np.int64)))
+
+    mask_map = compute_map_from_iou(per_image_mask, num_classes, iou_threshold)
+    dice = greedy_dice(per_image_dice, iou_threshold=0.5)
+    box_map = compute_map(box_pred, box_gt, num_classes, iou_threshold=iou_threshold)
+    return {
+        "mask_map": mask_map["map"],
+        "mask_ap_per_class": mask_map["ap_per_class"],
+        "num_gt_per_class": mask_map["num_gt_per_class"],
+        "box_map": box_map["map"],
+        "num_images": n,
+        **dice,
+    }
 
 
 def evaluate_pipeline_map(
@@ -189,4 +365,5 @@ def evaluate_pipeline_map(
     )
     img_wh = (dataset.img_wh[0], dataset.img_wh[1])
     return _collect_and_score(
-        forward, dataset, batch_size, model.num_classes, img_wh, iou_threshold)
+        forward, dataset, batch_size, model.num_classes, img_wh, iou_threshold,
+        num_keypoints=model.num_keypoints or 0)

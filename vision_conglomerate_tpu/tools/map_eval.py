@@ -36,19 +36,18 @@ def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
 
 
-def compute_map(
-    predictions: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-    ground_truths: Sequence[Tuple[np.ndarray, np.ndarray]],
+def compute_map_from_iou(
+    per_image: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
     num_classes: int,
     iou_threshold: float = 0.5,
 ) -> Dict[str, object]:
-    """mAP at one IoU threshold.
+    """mAP at one IoU threshold from precomputed pred-vs-GT IoU matrices.
 
-    predictions: per image (boxes_xyxy (n,4), scores (n,), classes (n,))
-    ground_truths: per image (boxes_xyxy (m,4), classes (m,))
+    per_image: (iou (n,m), scores (n,), pred_classes (n,), gt_classes (m,))
+    tuples — the IoU can be box IoU (compute_map) or mask IoU (the seg
+    harness computes intersections on device and passes the matrix here).
     Returns {"map": float, "ap_per_class": (C,), "num_gt_per_class": (C,)}.
     """
-    assert len(predictions) == len(ground_truths)
     aps = np.full(num_classes, np.nan)
     n_gt_per_class = np.zeros(num_classes, int)
 
@@ -56,33 +55,31 @@ def compute_map(
         # collect detections of class c across images, remember image ids
         rows = []  # (score, img_idx, det_idx_within_image_class)
         gt_count = 0
-        gt_by_img = []
-        det_by_img = []
-        for i, ((pb, ps, pc), (gb, gc)) in enumerate(zip(predictions, ground_truths)):
+        iou_by_img = []
+        score_by_img = []
+        for iou, ps, pc, gc in per_image:
             sel_p = np.asarray(pc) == c
             sel_g = np.asarray(gc) == c
-            det_by_img.append((np.asarray(pb)[sel_p], np.asarray(ps)[sel_p]))
-            gt_by_img.append(np.asarray(gb)[sel_g])
+            iou_by_img.append(np.asarray(iou)[sel_p][:, sel_g])
+            score_by_img.append(np.asarray(ps)[sel_p])
             gt_count += int(sel_g.sum())
         n_gt_per_class[c] = gt_count
         if gt_count == 0:
             continue
 
-        for i, (boxes, scores) in enumerate(det_by_img):
+        for i, scores in enumerate(score_by_img):
             for j in range(len(scores)):
                 rows.append((float(scores[j]), i, j))
         rows.sort(key=lambda r: -r[0])
 
-        matched = [np.zeros(len(g), bool) for g in gt_by_img]
+        matched = [np.zeros(m.shape[1], bool) for m in iou_by_img]
         tp = np.zeros(len(rows))
         fp = np.zeros(len(rows))
         for k, (_, i, j) in enumerate(rows):
-            box = det_by_img[i][0][j:j + 1]
-            gts = gt_by_img[i]
-            if len(gts) == 0:
+            ious = iou_by_img[i][j]
+            if ious.size == 0:
                 fp[k] = 1
                 continue
-            ious = _iou_matrix(box, gts)[0]
             best = int(np.argmax(ious))
             if ious[best] >= iou_threshold and not matched[i][best]:
                 matched[i][best] = True
@@ -103,5 +100,127 @@ def compute_map(
     }
 
 
+def compute_map(
+    predictions: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ground_truths: Sequence[Tuple[np.ndarray, np.ndarray]],
+    num_classes: int,
+    iou_threshold: float = 0.5,
+) -> Dict[str, object]:
+    """mAP at one IoU threshold (box IoU).
+
+    predictions: per image (boxes_xyxy (n,4), scores (n,), classes (n,))
+    ground_truths: per image (boxes_xyxy (m,4), classes (m,))
+    Returns {"map": float, "ap_per_class": (C,), "num_gt_per_class": (C,)}.
+    """
+    assert len(predictions) == len(ground_truths)
+    per_image = [
+        (_iou_matrix(np.asarray(pb), np.asarray(gb)), ps, pc, gc)
+        for (pb, ps, pc), (gb, gc) in zip(predictions, ground_truths)]
+    return compute_map_from_iou(per_image, num_classes, iou_threshold)
+
+
+def greedy_dice(
+    per_image: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """Dataset-level instance dice (the seg harness protocol).
+
+    per_image: (iou (n,m), dice (n,m), scores (n,), pred_classes (n,),
+    gt_classes (m,)). Per image, predictions are matched to same-class GT
+    instances greedily by score at mask IoU >= iou_threshold (each GT
+    matched at most once — same matching rule as AP). Returns:
+      dice          — mean over ALL GT instances, unmatched GT counts 0
+                      (penalises missed instances);
+      dice_matched  — mean over matched pairs only (mask-quality-given-found);
+      recall        — matched GT fraction.
+    The reference computes dice only as a train-time metric on assigned
+    candidates (/root/reference/modules/segmentation_loss.py:192-193); this
+    is the checkpoint->dataset instrument built on the same dice definition.
+    """
+    total_gt = 0
+    matched_dice_sum = 0.0
+    n_matched = 0
+    for iou, dice, scores, pc, gc in per_image:
+        m = len(gc)
+        total_gt += m
+        if m == 0 or len(scores) == 0:
+            continue
+        order = np.argsort(-np.asarray(scores))
+        taken = np.zeros(m, bool)
+        for j in order:
+            cand = np.where((np.asarray(gc) == pc[j]) & ~taken)[0]
+            if cand.size == 0:
+                continue
+            best = cand[np.argmax(iou[j, cand])]
+            if iou[j, best] >= iou_threshold:
+                taken[best] = True
+                matched_dice_sum += float(dice[j, best])
+                n_matched += 1
+    return {
+        "dice": matched_dice_sum / max(total_gt, 1),
+        "dice_matched": matched_dice_sum / max(n_matched, 1),
+        "recall": n_matched / max(total_gt, 1),
+        "num_gt": total_gt,
+        "num_matched": n_matched,
+    }
+
+
 def compute_map50(predictions, ground_truths, num_classes: int):
     return compute_map(predictions, ground_truths, num_classes, iou_threshold=0.5)
+
+
+def compute_pck(
+    per_image: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray, np.ndarray, np.ndarray]],
+    r: float = 0.1,
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """PCK@r keypoint accuracy from a checkpoint (VERDICT r2 item #4).
+
+    per_image: (box_iou (n,m), scores (n,), pred_classes (n,),
+    gt_classes (m,), pred_kp (n,Kp,3) [x,y,vis] pixels,
+    gt_kp (m,Kp,3) [x,y,vis] pixels, gt_wh (m,2) pixels).
+
+    Protocol: predictions greedily matched to same-class GT boxes by score
+    at box IoU >= iou_threshold (each GT once). For each VISIBLE GT keypoint
+    (vis > 0) of a matched instance, the prediction is correct when the
+    predicted keypoint lands within r * max(gt box w, h) of the GT keypoint.
+      pck          — correct / all visible GT keypoints (missed instances
+                     count all their keypoints as wrong);
+      pck_matched  — correct / visible keypoints of matched instances only.
+    The reference trains a keypoint loss
+    (/root/reference/modules/detection_loss.py:147-173) but never measures
+    keypoint accuracy; this instrument is beyond-reference.
+    """
+    total_vis = 0
+    matched_vis = 0
+    correct = 0
+    for iou, scores, pc, gc, pkp, gkp, gwh in per_image:
+        m = len(gc)
+        total_vis += int((np.asarray(gkp)[..., 2] > 0).sum()) if m else 0
+        if m == 0 or len(scores) == 0:
+            continue
+        order = np.argsort(-np.asarray(scores))
+        taken = np.zeros(m, bool)
+        for j in order:
+            cand = np.where((np.asarray(gc) == pc[j]) & ~taken)[0]
+            if cand.size == 0:
+                continue
+            best = cand[np.argmax(iou[j, cand])]
+            if iou[j, best] < iou_threshold:
+                continue
+            taken[best] = True
+            vis = np.asarray(gkp[best][:, 2]) > 0
+            matched_vis += int(vis.sum())
+            if not vis.any():
+                continue
+            thresh = r * float(max(gwh[best][0], gwh[best][1]))
+            d = np.hypot(pkp[j][:, 0] - gkp[best][:, 0],
+                         pkp[j][:, 1] - gkp[best][:, 1])
+            correct += int((d[vis] <= thresh).sum())
+    return {
+        "pck": correct / max(total_vis, 1),
+        "pck_matched": correct / max(matched_vis, 1),
+        "num_visible_keypoints": total_vis,
+        "num_matched_keypoints": matched_vis,
+    }

@@ -209,7 +209,12 @@ class TrainDetectionPipeline(BasePipeline):
         metrics_sum = None
         count = 0
         timer = StepTimer()
-        pbar = tqdm.tqdm(dataloader, total=len(dataloader), disable=not verbose)
+        # double-buffered H2D: batches are device_put `prefetch_batches`
+        # ahead (already laid out with the mesh's batch sharding) so the
+        # tunnel transfer overlaps the previous step's compute — the CLI
+        # hot path is input-bound in this environment (docs/PERF.md).
+        it = self._prefetch(dataloader)
+        pbar = tqdm.tqdm(it, total=len(dataloader), disable=not verbose)
         for batch in pbar:
             batch = self._device_batch(batch)
             self.state, metrics = step_fn(self.state, lr, *batch)

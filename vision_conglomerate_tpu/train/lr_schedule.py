@@ -89,11 +89,67 @@ class CosineAnnealingLR(LRScheduler):
         self.epoch += 1
 
 
+class ExponentialLR(LRScheduler):
+    """torch ExponentialLR: lr = base_lr * gamma**epoch."""
+
+    def __init__(self, base_lr: float, gamma: float):
+        super().__init__(base_lr)
+        self.gamma = gamma
+        self.epoch = 0
+
+    def get_lr(self) -> float:
+        return self.base_lr * self.gamma ** self.epoch
+
+    def step(self):
+        self.epoch += 1
+
+
+class MultiStepLR(LRScheduler):
+    """torch MultiStepLR: lr = base_lr * gamma**(#milestones <= epoch)."""
+
+    def __init__(self, base_lr: float, milestones, gamma: float = 0.1):
+        super().__init__(base_lr)
+        self.milestones = sorted(int(m) for m in milestones)
+        self.gamma = gamma
+        self.epoch = 0
+
+    def get_lr(self) -> float:
+        k = sum(1 for m in self.milestones if m <= self.epoch)
+        return self.base_lr * self.gamma ** k
+
+    def step(self):
+        self.epoch += 1
+
+
+class LinearLR(LRScheduler):
+    """torch LinearLR: factor interpolates start_factor -> end_factor over
+    total_iters steps, then stays at end_factor."""
+
+    def __init__(self, base_lr: float, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        super().__init__(base_lr)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+        self.epoch = 0
+
+    def get_lr(self) -> float:
+        t = min(self.epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (
+            self.start_factor + (self.end_factor - self.start_factor) * t)
+
+    def step(self):
+        self.epoch += 1
+
+
 SCHEDULERS = {
     "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
     "CosineAnnealingLR": CosineAnnealingLR,
     "StepLR": StepLR,
     "ConstantLR": ConstantLR,
+    "ExponentialLR": ExponentialLR,
+    "MultiStepLR": MultiStepLR,
+    "LinearLR": LinearLR,
 }
 
 

@@ -12,9 +12,41 @@ torch-parity notes:
 - lr scaling by device count is the caller's job (trainer multiplies by
   mesh size, matching train_det.py:52).
 """
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
+import jax
+import jax.numpy as jnp
 import optax
+
+ANCHOR_PARAM_NAMES = ("sm_anchors", "md_anchors", "lg_anchors")
+
+
+def _freeze_anchors_transform() -> optax.GradientTransformation:
+    """Zero every update to the `{sm,md,lg}_anchors` params.
+
+    Mirrors the reference's `requires_grad=config["train_anchors"]`
+    (/root/reference/modules/detection.py:36-38): with requires_grad=False
+    torch's optimizer never touches the anchors — in particular weight decay
+    can never shrink them. Here no gradient ever reaches the anchors either
+    (the loss detaches them), but `add_decayed_weights` would still decay
+    them every step with a nonzero weight_decay, silently corrupting the
+    checkpointed anchors; this stateless final link kills any such update.
+    """
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def zero_if_anchor(path, u):
+            if any(getattr(k, "key", None) in ANCHOR_PARAM_NAMES for k in path):
+                return jnp.zeros_like(u)
+            return u
+
+        return jax.tree_util.tree_map_with_path(zero_if_anchor, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _adam_like(learning_rate: float, b1: float, b2: float, eps: float,
@@ -27,8 +59,66 @@ def _adam_like(learning_rate: float, b1: float, b2: float, eps: float,
     return optax.chain(*parts)
 
 
-def make_optimizer(config: Dict[str, Any]) -> Tuple[optax.GradientTransformation, float]:
-    """Build (tx, base_lr) from the reference optimizer_config block."""
+class NAdamState(NamedTuple):
+    """Module-level (picklable into checkpoint manifests) NAdam state."""
+
+    count: Any
+    mu_product: Any
+    m: Any
+    v: Any
+
+
+def _scale_by_torch_nadam(b1: float, b2: float, eps: float,
+                          momentum_decay: float) -> optax.GradientTransformation:
+    """torch.optim.NAdam's exact update (Dozat Nesterov-Adam with torch's
+    mu_t = b1*(1 - 0.5*0.96^(t*momentum_decay)) momentum schedule and
+    mu-product bias correction). optax's nesterov Adam omits the schedule,
+    so it diverges from torch early in training; this matches torch
+    step-for-step (parity test: tests/test_optim_schedulers.py)."""
+    def init_fn(params):
+        return NAdamState(
+            count=jnp.zeros([], jnp.int32),
+            # default float dtype (f64 under x64) so the scalar mu schedule
+            # doesn't inject f32 rounding into higher-precision training
+            mu_product=jnp.ones([], jnp.result_type(float)),
+            m=jax.tree_util.tree_map(jnp.zeros_like, params),
+            v=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(state.mu_product.dtype)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * momentum_decay))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * momentum_decay))
+        mu_prod = state.mu_product * mu_t
+        m = jax.tree_util.tree_map(
+            lambda mm, g: b1 * mm + (1.0 - b1) * g, state.m, updates)
+        v = jax.tree_util.tree_map(
+            lambda vv, g: b2 * vv + (1.0 - b2) * g * g, state.v, updates)
+        bc2 = 1.0 - b2 ** tf
+
+        def upd(g, mm, vv):
+            denom = jnp.sqrt(vv / bc2) + eps
+            return ((1.0 - mu_t) / (1.0 - mu_prod) * g
+                    + mu_next * mm / (1.0 - mu_prod * mu_next)) / denom
+
+        new_updates = jax.tree_util.tree_map(upd, updates, m, v)
+        return new_updates, NAdamState(count=t, mu_product=mu_prod, m=m, v=v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    config: Dict[str, Any], train_anchors: bool = True,
+) -> Tuple[optax.GradientTransformation, float]:
+    """Build (tx, base_lr) from the reference optimizer_config block.
+
+    train_anchors=False freezes the anchor params exactly like the
+    reference's requires_grad=False path (see _freeze_anchors_transform).
+    With True, torch semantics are kept: anchors sit in the optimizer, so a
+    nonzero weight_decay decays them (zero grads) — same as torch would.
+    """
     cfg = dict(config)
     name = cfg.pop("name", "Adam")
     lr = float(cfg.pop("lr", 1e-3))
@@ -70,8 +160,57 @@ def make_optimizer(config: Dict[str, Any]) -> Tuple[optax.GradientTransformation
 
         def opt(learning_rate):
             return optax.rmsprop(learning_rate, decay=decay, eps=eps, momentum=momentum)
+    elif name in ("NAdam", "RAdam", "Adamax"):
+        # reference resolves ANY torch.optim name by reflection
+        # (/root/reference/train_det.py:52-54); these three share torch's
+        # Adam kwarg surface. torch weight_decay is L2-added-to-grad, so it
+        # goes before the scale_by_* transform (as in _adam_like).
+        betas = cfg.pop("betas", (0.9, 0.999))
+        eps = float(cfg.pop("eps", 1e-8))
+        wd = float(cfg.pop("weight_decay", 0.0))
+        momentum_decay = float(cfg.pop("momentum_decay", 4e-3))
+        scalers = {
+            "NAdam": lambda: _scale_by_torch_nadam(
+                b1=betas[0], b2=betas[1], eps=eps, momentum_decay=momentum_decay),
+            "RAdam": lambda: optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps),
+            "Adamax": lambda: optax.scale_by_adamax(b1=betas[0], b2=betas[1], eps=eps),
+        }
+        scaler = scalers[name]
+
+        def opt(learning_rate):
+            parts = []
+            if wd:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(scaler())
+            parts.append(optax.scale(-learning_rate))
+            return optax.chain(*parts)
+    elif name == "Adagrad":
+        eps = float(cfg.pop("eps", 1e-10))
+        wd = float(cfg.pop("weight_decay", 0.0))
+        initial_accumulator_value = float(cfg.pop("initial_accumulator_value", 0.0))
+
+        def opt(learning_rate):
+            parts = []
+            if wd:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_rss(
+                initial_accumulator_value=initial_accumulator_value, eps=eps))
+            parts.append(optax.scale(-learning_rate))
+            return optax.chain(*parts)
     else:
-        raise KeyError(f"Unknown optimizer {name!r}")
+        raise KeyError(
+            f"Unknown optimizer {name!r}; supported: Adam, AdamW, SGD, Adadelta, "
+            f"RMSprop, NAdam, RAdam, Adamax, Adagrad")
+
+    if not train_anchors:
+        inner_opt = opt
+
+        # NB: no extra parameters here — inject_hyperparams introspects the
+        # signature and would try to inject them as hyperparams
+        def _frozen_opt(learning_rate):
+            return optax.chain(inner_opt(learning_rate), _freeze_anchors_transform())
+
+        opt = _frozen_opt
 
     tx = optax.inject_hyperparams(opt)(learning_rate=lr)
     return tx, lr

@@ -33,5 +33,6 @@ class TrainSegmentationPipeline(TrainDetectionPipeline):
             new_bs = batch_stats
         loss, metrics = segmentation_loss(
             preds, labels, mask, protos, target_masks,
-            self._anchors_of(params), self.loss_cfg)
+            self._anchors_of(params), self.loss_cfg,
+            rng=jax.random.fold_in(rng, 7))  # cap_policy="random" rotation
         return loss, (metrics, new_bs)
