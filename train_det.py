@@ -148,9 +148,14 @@ def run(args, config, config_path, anchors_path):
                     evaluate_pipeline_map)
                 map_res = evaluate_pipeline_map(
                     pipeline, eval_ds, batch_size=args.batch_size)
-                pipeline.annotate_last("eval", {"map50": float(map_res["map"])})
+                extra = {"map50": float(map_res["map"])}
+                if "pck" in map_res:  # keypoint models: PCK@r per eval epoch
+                    extra["pck"] = float(map_res["pck"])
+                pipeline.annotate_last("eval", extra)
                 if verbose:
-                    logger.info(f"mAP@50: {map_res['map']:.4f}")
+                    logger.info(f"mAP@50: {map_res['map']:.4f}"
+                                + (f"  PCK@0.1: {map_res['pck']:.4f}"
+                                   if "pck" in map_res else ""))
             if metrics["aggregate_loss"] < best_loss:
                 best_loss = metrics["aggregate_loss"]
                 pipeline.save_best_model()
