@@ -97,6 +97,13 @@ def test_prefetch_to_device():
     out = list(prefetch_to_device(iter(batches), size=2))
     assert len(out) == 5
     assert all(isinstance(b[0], jax.Array) for b in out)
+    # size=0 must degrade to synchronous per-batch device_put, not drop
+    # everything (the A/B baseline arm in dev/bench_prefetch.py), and
+    # size > n_batches must still yield every batch exactly once
+    for size in (0, 1, 7):
+        out = list(prefetch_to_device(iter(batches), size=size))
+        assert len(out) == 5, size
+        assert all(isinstance(b[0], jax.Array) for b in out), size
 
 
 def test_seg_dropped_candidates_metric():

@@ -79,7 +79,10 @@ class DataLoader:
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2, device=None) -> Iterator:
-    """Move batches to device `size` steps ahead so H2D overlaps compute."""
+    """Move batches to device `size` steps ahead so H2D overlaps compute.
+
+    size=0 degrades to a synchronous device_put per batch (no lookahead) —
+    the A/B baseline arm in dev/bench_prefetch.py."""
     queue = collections.deque()
 
     def put(batch):
@@ -92,9 +95,11 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, device=None) -> Iterat
             put(next(it))
     except StopIteration:
         pass
-    while queue:
+    while True:
         try:
             put(next(it))
         except StopIteration:
-            pass
+            break
+        yield queue.popleft()
+    while queue:
         yield queue.popleft()
