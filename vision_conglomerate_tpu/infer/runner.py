@@ -17,6 +17,8 @@ img_<n>.png or video.mp4 + optional output.csv summary.
 import json
 import logging
 import os
+import queue
+import threading
 from datetime import datetime
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -118,6 +120,41 @@ def _make_forward(model, variables, folded: bool, int8: bool = False):
         return cache[key](jnp.asarray(imgs))
 
     return forward
+
+
+def _prefetch_batches(gen, depth: int = 2):
+    """Overlap host decode + H2D with device compute for the serving loop.
+
+    A background thread pulls (imgs, ogs) batches from `gen` (cv2/PIL decode
+    releases the GIL) and starts their async device_put, `depth` batches
+    ahead of the consumer. Yields (imgs_host, imgs_device, ogs) — the host
+    copy stays available for PTQ calibration and save_og_size=False drawing.
+    Disable with VCT_INFER_PREFETCH=0 (the A/B baseline: decode, transfer and
+    compute fully serialized, the pre-round-3 behavior)."""
+    if os.environ.get("VCT_INFER_PREFETCH", "1") == "0":
+        for imgs, ogs in gen:
+            yield imgs, imgs, ogs
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for imgs, ogs in gen:
+                q.put((imgs, jax.device_put(imgs), ogs))
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put((SENTINEL, e, None))
+            return
+        q.put((SENTINEL, None, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        imgs, dev, ogs = q.get()
+        if imgs is SENTINEL:
+            if dev is not None:
+                raise dev
+            return
+        yield imgs, dev, ogs
 
 
 def quantize_model_int8(model, variables, calib_imgs, **apply_kwargs):
@@ -236,13 +273,13 @@ def run_detection_inference(
             if buf_i:
                 yield np.stack(buf_i), np.stack(buf_o)
 
-    for imgs, ogs in batches():
+    for imgs, dev_imgs, ogs in _prefetch_batches(batches()):
         if quantize_pending:  # PTQ on the first real batch, then serve int8
             variables = quantize_model_int8(model, variables, imgs)
             forward = _make_forward(model, variables, folded=use_reparam, int8=True)
             quantize_pending = False
         og_hw = (ogs.shape[1], ogs.shape[2]) if save_og_size else (imgs.shape[1], imgs.shape[2])
-        out = forward(imgs, og_hw)
+        out = forward(dev_imgs, og_hw)
         protos = None
         if task == "segmentation":
             preds, protos = out
