@@ -110,6 +110,8 @@ def run(args, config, config_path, anchors_path):
             if metrics["aggregate_loss"] < best_loss:
                 best_loss = metrics["aggregate_loss"]
                 pipeline.save_best_model()
+            # persist metric CSVs every eval epoch so a killed run keeps its history
+            pipeline.metrics_to_csv()
         if ((epoch + 1) % args.checkpoint_interval == 0) or (epoch + 1 == args.epochs):
             pipeline.save_checkpoint()
     pipeline.metrics_to_csv()
