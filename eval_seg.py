@@ -46,6 +46,7 @@ def run(args) -> dict:
         use_reparam=not args.no_reparam,
         max_labels=args.max_labels,
         quantize=(args.quantize if args.quantize != "none" else None),
+        crop_masks=args.crop_masks,
     )
     out = {
         f"mask_map{int(round(args.iou * 100))}": round(result["mask_map"], 5),
@@ -61,6 +62,7 @@ def run(args) -> dict:
         "weights": args.weights_path,
         "data_dir": args.data_dir,
         "quantize": args.quantize,
+        "crop_masks": args.crop_masks,
     }
     print(json.dumps(out))
     return out
@@ -88,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Evaluate the train-form (multi-branch) network")
     parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
                         help="Evaluate the int8-PTQ serving form (mask-metric delta check)")
+    parser.add_argument("--crop_masks", action="store_true",
+                        help="Beyond-reference: crop assembled masks to their predicted "
+                             "boxes before scoring (the reference assembles uncropped "
+                             "masks at inference; default scores that protocol)")
     return parser
 
 

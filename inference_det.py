@@ -33,6 +33,7 @@ def run(args, config_path: str, task: str = "detection"):
         save_og_size=args.save_og_size,
         use_reparam=not args.no_reparam,
         quantize=(args.quantize if args.quantize != "none" else None),
+        crop_masks=getattr(args, "crop_masks", False),
     )
 
 

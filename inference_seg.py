@@ -16,5 +16,8 @@ if __name__ == "__main__":
     best_model_path = "saved_model/segmentation/best_model/SegmentationNet.ckpt.tar"
     config_path = os.path.join(Path(best_model_path).parent.resolve(), "config", "config.yaml")
     parser = build_parser("segmentation", best_model_path)
+    parser.add_argument("--crop_masks", action="store_true",
+                        help="Beyond-reference: crop assembled masks to their predicted "
+                             "boxes before drawing (the reference renders uncropped masks)")
     args = parser.parse_args()
     run(args, config_path, task="segmentation")

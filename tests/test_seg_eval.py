@@ -155,3 +155,20 @@ def test_eval_seg_cli_from_checkpoint(tmp_path, monkeypatch):
     assert out["num_images"] == 3
     assert sum(out["num_gt_per_class"]) == 6  # 2 instances x 3 images
     json.dumps(out)  # serializable
+
+    # beyond-reference serve crop: masks zeroed outside their predicted box
+    # before scoring. box_map must be identical (crop touches masks only).
+    args_crop = eval_seg.build_parser().parse_args([
+        "--weights_path", weights,
+        "--data_dir", root,
+        "--config_path", config_path,
+        "--batch_size", "2",
+        "--max_labels", "8",
+        "--max_detections", "8",
+        "--crop_masks",
+    ])
+    out_crop = eval_seg.run(args_crop)
+    assert out_crop["crop_masks"] is True
+    assert out_crop["box_map50"] == pytest.approx(out["box_map50"])
+    for k in ("mask_map50", "dice", "dice_matched", "mask_recall50"):
+        assert 0.0 <= out_crop[k] <= 1.0, (k, out_crop[k])

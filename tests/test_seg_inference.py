@@ -8,6 +8,35 @@ import numpy as np
 from tests.test_e2e import ANCHORS, TINY_MODEL_CONFIG, _write_seg_dataset
 
 
+def test_assemble_instance_masks_box_crop():
+    """boxes_xyxy zeroes mask pixels outside each instance's box and leaves
+    pixels inside untouched (beyond-reference serve crop)."""
+    import jax.numpy as jnp
+
+    from vision_conglomerate_tpu.ops.postprocess import assemble_instance_masks
+
+    # one proto channel that is ON everywhere -> every mask fires everywhere
+    protos = jnp.ones((1, 8, 8, 2), jnp.float32) * 10.0
+    coefs = jnp.asarray([[[1.0, 0.0], [1.0, 0.0]]], jnp.float32)  # (1, 2, 2)
+    full = assemble_instance_masks(protos, coefs)
+    assert bool(full.all())
+
+    boxes = jnp.asarray([[[2.0, 3.0, 5.0, 6.0],      # instance 0: interior box
+                          [0.0, 0.0, 7.0, 7.0]]])     # instance 1: full frame
+    cropped = np.asarray(assemble_instance_masks(protos, coefs, boxes_xyxy=boxes))
+    # instance 1 untouched
+    assert cropped[0, 1].all()
+    # instance 0: exactly the inclusive box region survives
+    expect = np.zeros((8, 8), bool)
+    expect[3:7, 2:6] = True
+    np.testing.assert_array_equal(cropped[0, 0], expect)
+    # resize path composes with the crop (boxes in og coords)
+    og = np.asarray(assemble_instance_masks(
+        protos, coefs, og_size=(16, 16),
+        boxes_xyxy=jnp.asarray([[[4.0, 6.0, 10.0, 12.0], [0.0, 0.0, 15.0, 15.0]]])))
+    assert og[0, 1].all() and not og[0, 0, 0, 0] and og[0, 0, 8, 8]
+
+
 def test_segmentation_inference_roundtrip(tmp_path, monkeypatch):
     from vision_conglomerate_tpu.data import DataLoader, SegmentationDataset
     from vision_conglomerate_tpu.infer.runner import run_detection_inference

@@ -190,6 +190,8 @@ def run_detection_inference(
     storage_path: Optional[str] = None,
     quantize: Optional[str] = None,  # None | "int8" (PTQ; calibrates on the
     # first batch of the actual input — see nn/quantize.py)
+    crop_masks: bool = False,  # beyond-reference: crop assembled masks to
+    # their predicted boxes (see ops/postprocess.assemble_instance_masks)
 ):
     """End-to-end CLI driver (reference inference_det.py run/evaluate_frames,
     :168-311). `save_og_size` implements the flag the reference documents in
@@ -298,7 +300,8 @@ def run_detection_inference(
         inst_masks = None
         if task == "segmentation":
             inst_masks = np.asarray(assemble_instance_masks(
-                protos, post.mask_coefs, og_size=og_hw))
+                protos, post.mask_coefs, og_size=og_hw,
+                boxes_xyxy=post.boxes_xyxy if crop_masks else None))
 
         boxes_np = np.asarray(post.boxes_xyxy)
         scores_np = np.asarray(post.scores)

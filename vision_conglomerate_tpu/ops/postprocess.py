@@ -111,11 +111,29 @@ def assemble_instance_masks(
     mask_coefs: jnp.ndarray,  # (B, K, Km)
     og_size: Optional[Tuple[int, int]] = None,
     threshold: float = 0.5,
+    boxes_xyxy: Optional[jnp.ndarray] = None,  # (B, K, 4), same coords as output
 ) -> jnp.ndarray:
-    """(B, K, H, W) binary instance masks (reference inference_seg.py:123-126)."""
+    """(B, K, H, W) binary instance masks (reference inference_seg.py:123-126).
+
+    `boxes_xyxy` (opt-in, beyond-reference) zeroes each mask outside its
+    predicted box (YOLACT-style serve crop). The reference assembles
+    UNcropped masks at inference even though training supervises crops
+    (modules/segmentation_loss.py:161-173), so coefficients are
+    unconstrained outside the crop and masks can bleed; pass the decoded
+    boxes (in the same coordinate system as the assembled masks — og_size
+    coords when og_size is given) to suppress that bleed.
+    """
     logits = jnp.einsum("bhwk,bnk->bnhw", protos.astype(jnp.float32), mask_coefs)
     masks = jax.nn.sigmoid(logits)
     if og_size is not None and tuple(og_size) != masks.shape[2:]:
         masks = jax.image.resize(
             masks, masks.shape[:2] + (int(og_size[0]), int(og_size[1])), method="linear")
-    return masks > threshold
+    out = masks > threshold
+    if boxes_xyxy is not None:
+        bx = boxes_xyxy.astype(jnp.float32)
+        ys = jnp.arange(out.shape[2], dtype=jnp.float32)[None, None, :, None]
+        xs = jnp.arange(out.shape[3], dtype=jnp.float32)[None, None, None, :]
+        in_box = ((xs >= bx[..., 0, None, None]) & (xs <= bx[..., 2, None, None])
+                  & (ys >= bx[..., 1, None, None]) & (ys <= bx[..., 3, None, None]))
+        out = out & in_box
+    return out

@@ -200,6 +200,7 @@ def evaluate_checkpoint_seg(
     dtype=jnp.bfloat16,
     max_labels: int = 64,
     quantize: Optional[str] = None,  # None | "int8" (PTQ, first-batch calib)
+    crop_masks: bool = False,
 ) -> Dict[str, Any]:
     """Segmentation checkpoint + polygon-label val dir -> mask metrics.
 
@@ -224,6 +225,15 @@ def evaluate_checkpoint_seg(
       /root/reference/modules/segmentation_loss.py:192-193).
     Box mAP over the same run is reported as `box_map` for cross-checking
     against eval_det.py.
+
+    `crop_masks=True` additionally zeroes each assembled mask outside its
+    predicted box (YOLACT-style serve crop) BEFORE binarisation-scoring.
+    This is deliberately beyond-reference: the reference supervises mask
+    crops at train time (modules/segmentation_loss.py:161-173) but assembles
+    UNcropped masks at inference (inference_seg.py:123-126), so coefficients
+    are unconstrained outside the crop and masks can bleed globally. The
+    default (False) scores the reference protocol; the flag measures how
+    much of the mask-IoU gap is that bleed.
     """
     from ..data.segmentation import SegmentationDataset
     from ..infer.runner import load_detection_model, quantize_model_int8
@@ -276,6 +286,14 @@ def evaluate_checkpoint_seg(
         logits = jnp.einsum(
             "bhwk,bnk->bnhw", protos.astype(jnp.float32), post.mask_coefs)
         pm = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        if crop_masks:  # zero outside the predicted box, at protos res (/4)
+            bx = post.boxes_xyxy.astype(jnp.float32) / 4.0  # (B, N, 4) xyxy
+            ys = jnp.arange(pm.shape[2], dtype=jnp.float32)[None, None, :, None]
+            xs = jnp.arange(pm.shape[3], dtype=jnp.float32)[None, None, None, :]
+            x1, y1 = bx[..., 0, None, None], bx[..., 1, None, None]
+            x2, y2 = bx[..., 2, None, None], bx[..., 3, None, None]
+            in_box = ((xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2))
+            pm = pm * in_box.astype(pm.dtype)
         # GT instance masks from the overlap-indexed map: slot m <-> id m+1
         if gt_overlap.shape[1:] != protos.shape[1:3]:  # odd sizes: nearest align
             gt_overlap = jax.image.resize(
