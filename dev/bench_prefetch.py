@@ -70,6 +70,9 @@ def main(batch=16, epochs_per_arm=2):
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / 10
     dev_imgs = batch / dt
+    # _train_step donates its state arg, so the manual timing loop above
+    # deleted pipe.state's buffers — adopt the stepped state before the A/B
+    pipe.state = state
     peak_tflops = float(os.environ.get("VCT_PEAK_TFLOPS", "197"))  # v5e bf16
     train_mfu = (step_flops / dt) / (peak_tflops * 1e12)
     print(f"train step device-only b{batch}: {dt * 1e3:.1f} ms, "
