@@ -58,8 +58,11 @@ def _select_top_candidates(values, valid: jnp.ndarray, priority: jnp.ndarray,
                            cap: int):
     """Select the `cap` highest-priority valid rows of (B, N, ...) tensors
     into (B, cap, ...) slots (invalid rows get -inf priority; lax.top_k
-    breaks ties by lower index, so equal priorities keep assignment order)."""
+    breaks ties by lower index, so equal priorities keep assignment order).
+    A cap larger than the candidate lattice keeps every row (static clamp —
+    top_k rejects k > N)."""
     keyed = jnp.where(valid, priority, -jnp.inf)
+    cap = min(cap, keyed.shape[-1])
     _, idx = jax.lax.top_k(keyed, cap)  # (B, cap)
     out = []
     for v in values:
@@ -122,6 +125,9 @@ def seg_scale_loss(
     coefs = match[:, k_i:k_i + k]
 
     n_per_img = asn.valid.shape[0] // b
+    # a cap above the lattice size keeps every candidate (static clamp: the
+    # selected-slot count S = cap flows into reshapes below)
+    cap = min(cap, n_per_img)
     reshape_img = lambda t: t.reshape((b, n_per_img) + t.shape[1:])  # noqa: E731
     valid_img = reshape_img(asn.valid)
     txywh_img = reshape_img(asn.t_xywh)
