@@ -239,3 +239,83 @@ def test_schedulers_match_torch(name, kwargs):
         ours.append(ours_sched.get_lr())
         ours_sched.step()
     np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+def test_polynomial_lr_matches_torch():
+    base_lr = 0.1
+    kwargs = {"total_iters": 8, "power": 2.0}
+    theirs = _torch_sched_lrs("PolynomialLR", base_lr, epochs=12, **kwargs)
+    sched = make_lr_scheduler({"name": "PolynomialLR", **kwargs}, base_lr)
+    ours = []
+    for _ in range(12):
+        ours.append(sched.get_lr())
+        sched.step()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-15)
+
+
+@pytest.mark.parametrize("strategy", ["cos", "linear"])
+def test_onecycle_lr_matches_torch(strategy):
+    # torch OneCycleLR refuses to step past total_steps, so drive one short
+    kwargs = dict(max_lr=0.4, total_steps=15, pct_start=0.3,
+                  anneal_strategy=strategy, div_factor=25.0,
+                  final_div_factor=1e3)
+    theirs = _torch_sched_lrs("OneCycleLR", 0.1, epochs=14, **kwargs)
+    sched = make_lr_scheduler({"name": "OneCycleLR", **kwargs}, 0.1)
+    ours = []
+    for _ in range(14):
+        ours.append(sched.get_lr())
+        sched.step()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+def test_reduce_lr_on_plateau_matches_torch():
+    """Same synthetic metric trace through torch and ours: identical lr
+    trajectory (patience counting, rel-threshold, cooldown, min_lr floor)."""
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89, 0.89, 0.89, 0.89, 0.89,
+               0.5, 0.5, 0.5, 0.5, 0.5]
+    kwargs = dict(mode="min", factor=0.5, patience=2, threshold=1e-2,
+                  threshold_mode="rel", cooldown=1, min_lr=1e-3)
+
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([w], lr=0.1)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, **kwargs)
+    theirs = []
+    for m in metrics:
+        tsched.step(m)
+        theirs.append(opt.param_groups[0]["lr"])
+
+    sched = make_lr_scheduler({"name": "ReduceLROnPlateau", **kwargs}, 0.1)
+    ours = []
+    for m in metrics:
+        sched.step(m)
+        ours.append(sched.get_lr())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+    assert theirs[-1] < 0.1  # the trace actually triggered reductions
+
+
+def test_plateau_trainer_wiring_feeds_eval_metric():
+    """BasePipeline._scheduler_step must feed ReduceLROnPlateau the eval
+    metric it names (and treat a missing eval as a no-op)."""
+    import types
+
+    from vision_conglomerate_tpu.train.base import BasePipeline
+    from vision_conglomerate_tpu.train.lr_schedule import ReduceLROnPlateau
+
+    sched = make_lr_scheduler(
+        {"name": "ReduceLROnPlateau", "factor": 0.5, "patience": 0,
+         "metric": "aggregate_loss"}, 0.1)
+    assert isinstance(sched, ReduceLROnPlateau)
+    ns = types.SimpleNamespace(lr_scheduler=sched, last_eval_metrics=None)
+    BasePipeline._scheduler_step(ns)           # no eval yet -> no-op
+    assert sched.get_lr() == pytest.approx(0.1)
+    ns.last_eval_metrics = {"aggregate_loss": 1.0}
+    BasePipeline._scheduler_step(ns)           # best=1.0
+    ns.last_eval_metrics = {"aggregate_loss": 2.0}
+    BasePipeline._scheduler_step(ns)           # worse, patience 0 -> cut
+    assert sched.get_lr() == pytest.approx(0.05)
+
+    # non-plateau schedulers keep the plain step() path
+    plain = make_lr_scheduler({"name": "ExponentialLR", "gamma": 0.5}, 0.1)
+    ns2 = types.SimpleNamespace(lr_scheduler=plain, last_eval_metrics=None)
+    BasePipeline._scheduler_step(ns2)
+    assert plain.get_lr() == pytest.approx(0.05)

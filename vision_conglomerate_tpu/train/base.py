@@ -38,6 +38,7 @@ class BasePipeline:
         self.last_epoch = 0
         self._train_metrics: List[Dict[str, float]] = []
         self._eval_metrics: List[Dict[str, float]] = []
+        self.last_eval_metrics: Optional[Dict[str, float]] = None
         self.metrics_dir = f"metrics/{self.task}"
         self.checkpoints_dir = os.path.join(
             f"saved_model/{self.task}/checkpoints", str(int(time.time())))
@@ -45,6 +46,19 @@ class BasePipeline:
         if config_path:
             self._save_config_copy(config_path, to_checkpoint_dir=True)
             self._save_config_copy(config_path, to_checkpoint_dir=False)
+
+    def _scheduler_step(self):
+        """Advance the lr scheduler one epoch. ReduceLROnPlateau keeps its
+        torch-style step(metric) signature: it is fed the latest eval metric
+        it names (None before the first eval = no-op, like torch users
+        calling step(val_loss) only after validation)."""
+        sched = self.lr_scheduler
+        key = getattr(sched, "metric_key", None)
+        if key is not None:
+            metric = (self.last_eval_metrics or {}).get(key)
+            sched.step(metric)
+        else:
+            sched.step()
 
     # ------------------------------------------------------ device metrics
     def _prefetch(self, dataloader, size: int = 2):

@@ -191,12 +191,14 @@ class TrainDetectionPipeline(BasePipeline):
     def train(self, dataloader, verbose: bool = False) -> Dict[str, float]:
         r = self.step(dataloader, "train", verbose)
         if self.lr_scheduler and (self.last_epoch % self.lr_schedule_interval == 0):
-            self.lr_scheduler.step()
+            self._scheduler_step()
         self.last_epoch += 1
         return r
 
     def evaluate(self, dataloader, verbose: bool = False) -> Dict[str, float]:
-        return self.step(dataloader, "eval", verbose)
+        r = self.step(dataloader, "eval", verbose)
+        self.last_eval_metrics = r
+        return r
 
     def step(self, dataloader, mode: str, verbose: bool = False) -> Dict[str, float]:
         if mode not in self._valid_modes:

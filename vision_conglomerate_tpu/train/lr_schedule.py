@@ -142,6 +142,129 @@ class LinearLR(LRScheduler):
         self.epoch += 1
 
 
+class PolynomialLR(LRScheduler):
+    """torch PolynomialLR: lr = base_lr * (1 - epoch/total_iters)**power,
+    clamped at 0 once epoch reaches total_iters."""
+
+    def __init__(self, base_lr: float, total_iters: int = 5, power: float = 1.0):
+        super().__init__(base_lr)
+        self.total_iters = total_iters
+        self.power = power
+        self.epoch = 0
+
+    def get_lr(self) -> float:
+        t = min(self.epoch, self.total_iters)
+        return self.base_lr * (1.0 - t / self.total_iters) ** self.power
+
+    def step(self):
+        self.epoch += 1
+
+
+class OneCycleLR(LRScheduler):
+    """torch OneCycleLR (three_phase=False): warm up initial_lr -> max_lr over
+    pct_start of total_steps, then anneal to max_lr/div_factor/final_div_factor.
+    torch steps this per batch; the trainers step per epoch, so configure
+    total_steps in scheduler-step units (epochs here). base_lr is ignored,
+    exactly like torch ignores the optimizer lr (max_lr rules)."""
+
+    def __init__(self, base_lr: float, max_lr: float, total_steps: int,
+                 pct_start: float = 0.3, anneal_strategy: str = "cos",
+                 div_factor: float = 25.0, final_div_factor: float = 1e4):
+        super().__init__(base_lr)
+        if anneal_strategy not in ("cos", "linear"):
+            raise ValueError("anneal_strategy must be 'cos' or 'linear'")
+        initial_lr = max_lr / div_factor
+        min_lr = initial_lr / final_div_factor
+        # mirror torch's phase table: end_step boundaries, start/end lrs
+        self.phases = [
+            (float(pct_start * total_steps) - 1, initial_lr, max_lr),
+            (float(total_steps) - 1, max_lr, min_lr),
+        ]
+        self.anneal_strategy = anneal_strategy
+        self.total_steps = total_steps
+        self.t = 0
+
+    def _anneal(self, start: float, end: float, pct: float) -> float:
+        if self.anneal_strategy == "cos":
+            return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+        return (end - start) * pct + start
+
+    def get_lr(self) -> float:
+        start_step = 0.0
+        for end_step, start_lr, end_lr in self.phases:
+            if self.t <= end_step or (end_step, start_lr, end_lr) == self.phases[-1]:
+                pct = (self.t - start_step) / (end_step - start_step)
+                return self._anneal(start_lr, end_lr, min(max(pct, 0.0), 1.0))
+            start_step = end_step
+        raise AssertionError("unreachable")
+
+    def step(self):
+        self.t += 1
+
+
+class ReduceLROnPlateau(LRScheduler):
+    """torch ReduceLROnPlateau: cut lr by `factor` after `patience` epochs
+    without metric improvement. Its torch step() signature differs too —
+    step(metric) — and the trainers feed it the latest eval metric named by
+    `metric` (default aggregate_loss; "loss" for TrackNet runs). A None
+    metric (no eval yet) is a no-op."""
+
+    def __init__(self, base_lr: float, mode: str = "min", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0,
+                 min_lr: float = 0.0, eps: float = 1e-8,
+                 metric: str = "aggregate_loss"):
+        super().__init__(base_lr)
+        if mode not in ("min", "max"):
+            raise ValueError("mode must be 'min' or 'max'")
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError("threshold_mode must be 'rel' or 'abs'")
+        self.lr = base_lr
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.cooldown = cooldown
+        self.min_lr = min_lr
+        self.eps = eps
+        self.metric_key = metric
+        self.best = None
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, current: float, best: float) -> bool:
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return current < best * (1.0 - self.threshold)
+            return current < best - self.threshold
+        if self.threshold_mode == "rel":
+            return current > best * (1.0 + self.threshold)
+        return current > best + self.threshold
+
+    def get_lr(self) -> float:
+        return self.lr
+
+    def step(self, metric=None):
+        if metric is None:
+            return
+        current = float(metric)
+        if self.best is None or self._is_better(current, self.best):
+            self.best = current
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+
+
 SCHEDULERS = {
     "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
     "CosineAnnealingLR": CosineAnnealingLR,
@@ -150,6 +273,9 @@ SCHEDULERS = {
     "ExponentialLR": ExponentialLR,
     "MultiStepLR": MultiStepLR,
     "LinearLR": LinearLR,
+    "PolynomialLR": PolynomialLR,
+    "OneCycleLR": OneCycleLR,
+    "ReduceLROnPlateau": ReduceLROnPlateau,
 }
 
 

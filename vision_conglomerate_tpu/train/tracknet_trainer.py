@@ -200,7 +200,7 @@ class TrainTrackNetPipeline(BasePipeline):
         self._record("train", {"loss": loss, "images_per_sec": timer.images_per_sec},
                      verbose)
         if self.lr_scheduler and (self.last_epoch % self.lr_schedule_interval == 0):
-            self.lr_scheduler.step()
+            self._scheduler_step()
         self.last_epoch += 1
         return loss
 
@@ -247,6 +247,7 @@ class TrainTrackNetPipeline(BasePipeline):
             precision=precision, recall=recall, f1=f1,
         )
         self._record("eval", metrics, verbose)
+        self.last_eval_metrics = metrics
         if verbose:
             print(f"tp(vc0..3): {tp.astype(int)}  tn: {tn.astype(int)}  "
                   f"fp: {fp.astype(int)}  fn: {fn.astype(int)}")
