@@ -106,6 +106,34 @@ def test_prefetch_to_device():
         assert all(isinstance(b[0], jax.Array) for b in out), size
 
 
+def test_prefetch_sharded_ragged_tail_and_host_leaves():
+    """A drop_last=False ragged tail whose batch dim is not divisible by the
+    mesh must fall back to an unsharded put instead of device_put raising
+    (TrackNet eval on --use_ddp), and host_indices leaves must stay numpy
+    (the 'others' tensor is consumed host-side only)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from vision_conglomerate_tpu.data.loader import prefetch_to_device
+
+    devs = jax.devices()
+    assert len(devs) >= 2
+    mesh = Mesh(np.asarray(devs[:2]), ("dp",))
+    sharding = NamedSharding(mesh, PartitionSpec("dp"))
+    # full batches of 4, ragged tail of 3 (3 % 2 != 0)
+    batches = [(np.ones((4, 8)), np.zeros((4, 2)), np.arange(4.0)),
+               (np.ones((3, 8)), np.zeros((3, 2)), np.arange(3.0))]
+    out = list(prefetch_to_device(iter(batches), size=2, device=sharding,
+                                  host_indices=(2,)))
+    assert len(out) == 2
+    for frames, heatmaps, others in out:
+        assert isinstance(frames, jax.Array)
+        assert isinstance(heatmaps, jax.Array)
+        assert isinstance(others, np.ndarray)  # never shipped
+    assert out[0][0].sharding == sharding          # even batch: dp-sharded
+    assert out[1][0].shape == (3, 8)               # tail survives intact
+    np.testing.assert_array_equal(np.asarray(out[1][2]), np.arange(3.0))
+
+
 def test_seg_dropped_candidates_metric():
     """A crowded image exceeding seg_candidates_per_image must surface a
     nonzero seg_dropped_candidates metric (VERDICT r1 weak #6)."""

@@ -295,7 +295,9 @@ def test_reduce_lr_on_plateau_matches_torch():
 
 def test_plateau_trainer_wiring_feeds_eval_metric():
     """BasePipeline._scheduler_step must feed ReduceLROnPlateau the eval
-    metric it names (and treat a missing eval as a no-op)."""
+    metric it names, exactly once per NEW eval — never before the first
+    eval, and never re-feeding a stale metric on non-eval epochs (which
+    would burn patience eval_interval times too fast)."""
     import types
 
     from vision_conglomerate_tpu.train.base import BasePipeline
@@ -305,17 +307,26 @@ def test_plateau_trainer_wiring_feeds_eval_metric():
         {"name": "ReduceLROnPlateau", "factor": 0.5, "patience": 0,
          "metric": "aggregate_loss"}, 0.1)
     assert isinstance(sched, ReduceLROnPlateau)
-    ns = types.SimpleNamespace(lr_scheduler=sched, last_eval_metrics=None)
+    ns = types.SimpleNamespace(lr_scheduler=sched, last_eval_metrics=None,
+                               _evals_seen=0, _plateau_evals_consumed=0)
     BasePipeline._scheduler_step(ns)           # no eval yet -> no-op
     assert sched.get_lr() == pytest.approx(0.1)
-    ns.last_eval_metrics = {"aggregate_loss": 1.0}
+    BasePipeline._note_eval(ns, {"aggregate_loss": 1.0})
     BasePipeline._scheduler_step(ns)           # best=1.0
-    ns.last_eval_metrics = {"aggregate_loss": 2.0}
+    BasePipeline._note_eval(ns, {"aggregate_loss": 2.0})
     BasePipeline._scheduler_step(ns)           # worse, patience 0 -> cut
+    assert sched.get_lr() == pytest.approx(0.05)
+    # stale epoch (no new eval): 2.0 again would cut once more if re-fed
+    BasePipeline._scheduler_step(ns)
+    assert sched.get_lr() == pytest.approx(0.05)
+    # missing metric key: warn + skip rather than silently no-op forever
+    BasePipeline._note_eval(ns, {"loss": 3.0})
+    BasePipeline._scheduler_step(ns)
     assert sched.get_lr() == pytest.approx(0.05)
 
     # non-plateau schedulers keep the plain step() path
     plain = make_lr_scheduler({"name": "ExponentialLR", "gamma": 0.5}, 0.1)
-    ns2 = types.SimpleNamespace(lr_scheduler=plain, last_eval_metrics=None)
+    ns2 = types.SimpleNamespace(lr_scheduler=plain, last_eval_metrics=None,
+                                _evals_seen=0, _plateau_evals_consumed=0)
     BasePipeline._scheduler_step(ns2)
     assert plain.get_lr() == pytest.approx(0.05)

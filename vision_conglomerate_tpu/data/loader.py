@@ -78,16 +78,38 @@ class DataLoader:
                 yield self.collate_fn([f.result() for f in futures])
 
 
-def prefetch_to_device(iterator: Iterator, size: int = 2, device=None) -> Iterator:
+def prefetch_to_device(iterator: Iterator, size: int = 2, device=None,
+                       host_indices=()) -> Iterator:
     """Move batches to device `size` steps ahead so H2D overlaps compute.
 
     size=0 degrades to a synchronous device_put per batch (no lookahead) —
-    the A/B baseline arm in dev/bench_prefetch.py."""
+    the A/B baseline arm in dev/bench_prefetch.py.
+
+    host_indices: positions in a tuple/list batch to leave on host (data the
+    loop consumes host-side — shipping it would be a wasted round trip).
+
+    A batch whose leading dim is not divisible by a NamedSharding's mesh
+    (e.g. a drop_last=False ragged tail on a multi-device mesh) falls back
+    to an unsharded put — jit reshards it on entry instead of device_put
+    raising."""
     queue = collections.deque()
 
+    def put_leaf(x):
+        if not isinstance(x, np.ndarray):
+            return x
+        dev = device
+        mesh = getattr(device, "mesh", None)
+        if mesh is not None and x.ndim and x.shape[0] % mesh.size != 0:
+            dev = None
+        return jax.device_put(x, dev)
+
     def put(batch):
-        queue.append(jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, device) if isinstance(x, np.ndarray) else x, batch))
+        if host_indices and isinstance(batch, (tuple, list)):
+            queue.append(tuple(
+                el if i in host_indices else jax.tree_util.tree_map(put_leaf, el)
+                for i, el in enumerate(batch)))
+        else:
+            queue.append(jax.tree_util.tree_map(put_leaf, batch))
 
     it = iter(iterator)
     try:

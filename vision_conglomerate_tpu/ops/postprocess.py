@@ -130,10 +130,17 @@ def assemble_instance_masks(
             masks, masks.shape[:2] + (int(og_size[0]), int(og_size[1])), method="linear")
     out = masks > threshold
     if boxes_xyxy is not None:
-        bx = boxes_xyxy.astype(jnp.float32)
-        ys = jnp.arange(out.shape[2], dtype=jnp.float32)[None, None, :, None]
-        xs = jnp.arange(out.shape[3], dtype=jnp.float32)[None, None, None, :]
-        in_box = ((xs >= bx[..., 0, None, None]) & (xs <= bx[..., 2, None, None])
-                  & (ys >= bx[..., 1, None, None]) & (ys <= bx[..., 3, None, None]))
-        out = out & in_box
+        out = out & in_box_grid(out.shape[2:], boxes_xyxy)
     return out
+
+
+def in_box_grid(shape_hw, boxes_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, H, W) bool grid, True inside each box (inclusive edges) — the
+    single definition of the YOLACT-style crop footprint shared by serve
+    mask assembly and the seg eval harness."""
+    h, w = int(shape_hw[0]), int(shape_hw[1])
+    bx = boxes_xyxy.astype(jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    return ((xs >= bx[..., 0, None, None]) & (xs <= bx[..., 2, None, None])
+            & (ys >= bx[..., 1, None, None]) & (ys <= bx[..., 3, None, None]))

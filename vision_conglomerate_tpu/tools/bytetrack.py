@@ -234,8 +234,10 @@ class ByteTrack:
         scores = (detections.confidence if detections.confidence is not None
                   else np.ones(len(detections)))
         # original score bands (both strict): high > thresh, low in (0.1, thresh)
+        # — a score EQUAL to the threshold falls in neither band
         high = scores > self.track_activation_threshold
-        low = (~high) & (scores > self.low_thresh)
+        low = ((scores < self.track_activation_threshold)
+               & (scores > self.low_thresh))
         dets_high, s_high = detections[high], scores[high]
         dets_low, s_low = detections[low], scores[low]
 

@@ -287,13 +287,10 @@ def evaluate_checkpoint_seg(
             "bhwk,bnk->bnhw", protos.astype(jnp.float32), post.mask_coefs)
         pm = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
         if crop_masks:  # zero outside the predicted box, at protos res (/4)
-            bx = post.boxes_xyxy.astype(jnp.float32) / 4.0  # (B, N, 4) xyxy
-            ys = jnp.arange(pm.shape[2], dtype=jnp.float32)[None, None, :, None]
-            xs = jnp.arange(pm.shape[3], dtype=jnp.float32)[None, None, None, :]
-            x1, y1 = bx[..., 0, None, None], bx[..., 1, None, None]
-            x2, y2 = bx[..., 2, None, None], bx[..., 3, None, None]
-            in_box = ((xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2))
-            pm = pm * in_box.astype(pm.dtype)
+            from ..ops.postprocess import in_box_grid
+
+            pm = pm * in_box_grid(
+                pm.shape[2:], post.boxes_xyxy / 4.0).astype(pm.dtype)
         # GT instance masks from the overlap-indexed map: slot m <-> id m+1
         if gt_overlap.shape[1:] != protos.shape[1:3]:  # odd sizes: nearest align
             gt_overlap = jax.image.resize(

@@ -195,9 +195,16 @@ def compute_pck(
     total_vis = 0
     matched_vis = 0
     correct = 0
+
+    def _visible(kp):
+        # ragged keypoint rows are collated as +inf padding (data/detection.py)
+        # — padded slots are NOT visible GT keypoints
+        kp = np.asarray(kp)
+        return (kp[..., 2] > 0) & np.isfinite(kp).all(axis=-1)
+
     for iou, scores, pc, gc, pkp, gkp, gwh in per_image:
         m = len(gc)
-        total_vis += int((np.asarray(gkp)[..., 2] > 0).sum()) if m else 0
+        total_vis += int(_visible(gkp).sum()) if m else 0
         if m == 0 or len(scores) == 0:
             continue
         order = np.argsort(-np.asarray(scores))
@@ -210,7 +217,7 @@ def compute_pck(
             if iou[j, best] < iou_threshold:
                 continue
             taken[best] = True
-            vis = np.asarray(gkp[best][:, 2]) > 0
+            vis = _visible(gkp[best])
             matched_vis += int(vis.sum())
             if not vis.any():
                 continue

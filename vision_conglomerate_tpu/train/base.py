@@ -39,6 +39,8 @@ class BasePipeline:
         self._train_metrics: List[Dict[str, float]] = []
         self._eval_metrics: List[Dict[str, float]] = []
         self.last_eval_metrics: Optional[Dict[str, float]] = None
+        self._evals_seen = 0
+        self._plateau_evals_consumed = 0
         self.metrics_dir = f"metrics/{self.task}"
         self.checkpoints_dir = os.path.join(
             f"saved_model/{self.task}/checkpoints", str(int(time.time())))
@@ -47,21 +49,38 @@ class BasePipeline:
             self._save_config_copy(config_path, to_checkpoint_dir=True)
             self._save_config_copy(config_path, to_checkpoint_dir=False)
 
+    def _note_eval(self, metrics: Dict[str, float]):
+        """Trainers call this once per completed eval pass; plateau
+        scheduling keys off the eval COUNT, not the train-epoch count."""
+        self.last_eval_metrics = metrics
+        self._evals_seen += 1
+
     def _scheduler_step(self):
         """Advance the lr scheduler one epoch. ReduceLROnPlateau keeps its
-        torch-style step(metric) signature: it is fed the latest eval metric
-        it names (None before the first eval = no-op, like torch users
-        calling step(val_loss) only after validation)."""
+        torch-style step(metric) signature and is stepped once per NEW eval
+        (torch users call step(val_loss) once per validation) — re-feeding a
+        stale metric on non-eval epochs would burn patience eval_interval
+        times too fast."""
         sched = self.lr_scheduler
         key = getattr(sched, "metric_key", None)
-        if key is not None:
-            metric = (self.last_eval_metrics or {}).get(key)
-            sched.step(metric)
-        else:
+        if key is None:
             sched.step()
+            return
+        if self._evals_seen == self._plateau_evals_consumed:
+            return  # no eval since the last plateau step
+        self._plateau_evals_consumed = self._evals_seen
+        metric = (self.last_eval_metrics or {}).get(key)
+        if metric is None:
+            logger.warning(
+                "ReduceLROnPlateau watches eval metric %r but the last eval "
+                "produced %s — scheduler not stepped (set lr_scheduler_config."
+                "metric to one of those names)", key,
+                sorted(self.last_eval_metrics or {}))
+            return
+        sched.step(metric)
 
     # ------------------------------------------------------ device metrics
-    def _prefetch(self, dataloader, size: int = 2):
+    def _prefetch(self, dataloader, size: int = 2, host_indices=()):
         """Iterate `dataloader` with batches device_put `size` ahead, sharded
         batch-first over the dp mesh (VERDICT r2 item #5: overlap the H2D
         transfer — the dominant CLI train cost through the tunnel,
@@ -72,7 +91,8 @@ class BasePipeline:
         from ..parallel.mesh import DP_AXIS
 
         sharding = NamedSharding(self.mesh, PartitionSpec(DP_AXIS))
-        return prefetch_to_device(dataloader, size=size, device=sharding)
+        return prefetch_to_device(dataloader, size=size, device=sharding,
+                                  host_indices=host_indices)
 
     # One compiled tree-add, donated into, dispatched asynchronously per step:
     # epoch metric accumulation never blocks the device queue (the per-step

@@ -197,7 +197,7 @@ class TrainDetectionPipeline(BasePipeline):
 
     def evaluate(self, dataloader, verbose: bool = False) -> Dict[str, float]:
         r = self.step(dataloader, "eval", verbose)
-        self.last_eval_metrics = r
+        self._note_eval(r)
         return r
 
     def step(self, dataloader, mode: str, verbose: bool = False) -> Dict[str, float]:

@@ -165,7 +165,9 @@ class OneCycleLR(LRScheduler):
     pct_start of total_steps, then anneal to max_lr/div_factor/final_div_factor.
     torch steps this per batch; the trainers step per epoch, so configure
     total_steps in scheduler-step units (epochs here). base_lr is ignored,
-    exactly like torch ignores the optimizer lr (max_lr rules)."""
+    exactly like torch ignores the optimizer lr (max_lr rules) — which also
+    means the CLI's lr x n_devices DDP scaling does NOT apply here (torch
+    behaves identically); scale max_lr in the config for multi-device runs."""
 
     def __init__(self, base_lr: float, max_lr: float, total_steps: int,
                  pct_start: float = 0.3, anneal_strategy: str = "cos",

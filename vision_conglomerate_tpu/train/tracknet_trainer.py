@@ -184,7 +184,8 @@ class TrainTrackNetPipeline(BasePipeline):
         timer = StepTimer()
         # double-buffered H2D (VERDICT r2 item #5): uint8 frames device_put
         # ahead so tunnel transfer overlaps the previous step
-        pbar = tqdm.tqdm(self._prefetch(dataloader),
+        # others is consumed host-side only — keep it off the device
+        pbar = tqdm.tqdm(self._prefetch(dataloader, host_indices=(2,)),
                          total=len(dataloader), disable=not verbose)
         for frames, heatmaps, _others in pbar:
             self.state, metrics = self._train_step(
@@ -210,9 +211,12 @@ class TrainTrackNetPipeline(BasePipeline):
         fp = np.zeros(4)
         tn = np.zeros(4)
         fn = np.zeros(4)
+        # host_indices: others never leaves the host (scored in numpy below);
+        # frames/heatmaps ragged tails (drop_last=False) fall back to an
+        # unsharded put inside prefetch_to_device on multi-device meshes
         for frames, heatmaps, others in tqdm.tqdm(
-                self._prefetch(dataloader), total=len(dataloader),
-                disable=not verbose):
+                self._prefetch(dataloader, host_indices=(2,)),
+                total=len(dataloader), disable=not verbose):
             others = np.asarray(others)  # consumed host-side below
             loss, pred_hm, cx, cy, found = self._eval_forward(
                 self.state, jnp.asarray(frames), jnp.asarray(heatmaps))
@@ -247,7 +251,7 @@ class TrainTrackNetPipeline(BasePipeline):
             precision=precision, recall=recall, f1=f1,
         )
         self._record("eval", metrics, verbose)
-        self.last_eval_metrics = metrics
+        self._note_eval(metrics)
         if verbose:
             print(f"tp(vc0..3): {tp.astype(int)}  tn: {tn.astype(int)}  "
                   f"fp: {fp.astype(int)}  fn: {fn.astype(int)}")
