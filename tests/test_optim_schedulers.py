@@ -163,6 +163,13 @@ def _jax_traj(cfg, steps=10):
     ("Adagrad", {"lr": 0.1}, 1e-9),
     ("Adagrad", {"lr": 0.1, "weight_decay": 0.01}, 1e-9),
     ("Adamax", {"lr": 0.05, "weight_decay": 0.01}, 1e-5),
+    ("Rprop", {"lr": 0.01}, 1e-12),
+    ("Rprop", {"lr": 0.05, "etas": (0.4, 1.3), "step_sizes": (1e-5, 2.0)}, 1e-12),
+    # torch ASGD keeps its eta buffer in float32 even for f64 params, so the
+    # trajectories drift at f32 resolution (~1e-9 here); the algorithm is
+    # exact
+    ("ASGD", {"lr": 0.05}, 1e-7),
+    ("ASGD", {"lr": 0.05, "lambd": 1e-3, "weight_decay": 0.01}, 1e-7),
 ])
 def test_new_optimizers_match_torch(name, cfg, tol):
     ours = _jax_traj({"name": name, **cfg})

@@ -109,6 +109,82 @@ def _scale_by_torch_nadam(b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class RpropState(NamedTuple):
+    """Module-level (picklable into checkpoint manifests) Rprop state."""
+
+    step_sizes: Any
+    prev_grad: Any
+
+
+def _scale_by_torch_rprop(learning_rate: float, eta_minus: float,
+                          eta_plus: float, step_min: float,
+                          step_max: float) -> optax.GradientTransformation:
+    """torch.optim.Rprop's exact update: per-weight step sizes grown by
+    eta_plus on consecutive same-sign gradients, shrunk by eta_minus on a
+    sign flip (that step's gradient is also zeroed, torch's 'backtrack'),
+    clamped to [step_min, step_max]; the update is -sign(g)*step. torch's lr
+    only seeds the initial step sizes — later lr changes are no-ops there
+    too, so the scheduler intentionally cannot retune a running Rprop."""
+    def init_fn(params):
+        return RpropState(
+            step_sizes=jax.tree_util.tree_map(
+                lambda p: jnp.full_like(p, learning_rate,
+                                        dtype=jnp.result_type(float)), params),
+            prev_grad=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        tm = jax.tree_util.tree_map
+        sign = tm(lambda g, prev: jnp.sign(g * prev), updates, state.prev_grad)
+        steps = tm(
+            lambda s, sg: jnp.clip(
+                s * jnp.where(sg > 0, eta_plus,
+                              jnp.where(sg < 0, eta_minus, 1.0)),
+                step_min, step_max),
+            state.step_sizes, sign)
+        g_used = tm(lambda g, sg: jnp.where(sg < 0, 0.0, g), updates, sign)
+        upd = tm(lambda gu, st: -jnp.sign(gu) * st, g_used, steps)
+        return upd, RpropState(step_sizes=steps, prev_grad=g_used)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class ASGDState(NamedTuple):
+    """Module-level (picklable) ASGD state. The Polyak average buffer (`ax`
+    in torch) shadows the iterate without affecting it; it is not
+    materialized here — the parameter trajectory is torch-exact."""
+
+    count: Any
+    eta: Any
+
+
+def _scale_by_torch_asgd(learning_rate: float, lambd: float, alpha: float,
+                         t0: float,
+                         weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.ASGD's exact iterate: with eta_t from the previous step,
+    p <- p*(1 - lambd*eta_t) - eta_t*(g + wd*p), then
+    eta_{t+1} = lr / (1 + lambd*lr*t)^alpha."""
+    def init_fn(params):
+        del params
+        return ASGDState(count=jnp.zeros([], jnp.int32),
+                         eta=jnp.asarray(learning_rate, jnp.result_type(float)))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("ASGD requires params (decayed iterate)")
+        eta = state.eta
+        new_updates = jax.tree_util.tree_map(
+            lambda g, p: -eta * (g + weight_decay * p) - lambd * eta * p,
+            updates, params)
+        t = state.count + 1
+        new_eta = learning_rate / (
+            1.0 + lambd * learning_rate * t.astype(eta.dtype)) ** alpha
+        return new_updates, ASGDState(count=t, eta=new_eta)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     config: Dict[str, Any], train_anchors: bool = True,
 ) -> Tuple[optax.GradientTransformation, float]:
@@ -197,10 +273,27 @@ def make_optimizer(
                 initial_accumulator_value=initial_accumulator_value, eps=eps))
             parts.append(optax.scale(-learning_rate))
             return optax.chain(*parts)
+    elif name == "Rprop":
+        etas = cfg.pop("etas", (0.5, 1.2))
+        step_sizes = cfg.pop("step_sizes", (1e-6, 50.0))
+
+        def opt(learning_rate):
+            return _scale_by_torch_rprop(
+                learning_rate, eta_minus=float(etas[0]), eta_plus=float(etas[1]),
+                step_min=float(step_sizes[0]), step_max=float(step_sizes[1]))
+    elif name == "ASGD":
+        lambd = float(cfg.pop("lambd", 1e-4))
+        alpha = float(cfg.pop("alpha", 0.75))
+        t0 = float(cfg.pop("t0", 1e6))
+        wd = float(cfg.pop("weight_decay", 0.0))
+
+        def opt(learning_rate):
+            return _scale_by_torch_asgd(
+                learning_rate, lambd=lambd, alpha=alpha, t0=t0, weight_decay=wd)
     else:
         raise KeyError(
             f"Unknown optimizer {name!r}; supported: Adam, AdamW, SGD, Adadelta, "
-            f"RMSprop, NAdam, RAdam, Adamax, Adagrad")
+            f"RMSprop, NAdam, RAdam, Adamax, Adagrad, Rprop, ASGD")
 
     if not train_anchors:
         inner_opt = opt
