@@ -236,6 +236,8 @@ def _torch_sched_lrs(name, base_lr, epochs, **kwargs):
     ("MultiStepLR", {"milestones": [3, 7], "gamma": 0.5}),
     ("LinearLR", {"start_factor": 0.25, "end_factor": 1.0, "total_iters": 4}),
     ("StepLR", {"step_size": 4, "gamma": 0.2}),
+    ("ConstantLR", {"factor": 0.5, "total_iters": 4}),
+    ("ConstantLR", {}),  # torch defaults: lr/3 for the first 5 epochs
 ])
 def test_schedulers_match_torch(name, kwargs):
     base_lr = 0.1
@@ -246,6 +248,39 @@ def test_schedulers_match_torch(name, kwargs):
         ours.append(ours_sched.get_lr())
         ours_sched.step()
     np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode,gamma", [
+    ("triangular", 1.0), ("triangular2", 1.0), ("exp_range", 0.97)])
+def test_cyclic_lr_matches_torch(mode, gamma):
+    """torch CyclicLR parity across all three amplitude modes, asymmetric
+    up/down step sizes, over 3+ full cycles. cycle_momentum=False on both
+    sides (momentum cycling is torch-SGD-specific; ours rejects True)."""
+    base_lr = 0.02
+    kw = dict(max_lr=0.2, step_size_up=3, step_size_down=5, mode=mode,
+              gamma=gamma, cycle_momentum=False)
+    # inline (not _torch_sched_lrs): torch CyclicLR takes base_lr as its own
+    # ctor argument, which would collide with the helper's positional
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([w], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.CyclicLR(opt, base_lr=base_lr, **kw)
+    theirs = []
+    for _ in range(26):
+        theirs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        tsched.step()
+    sched = make_lr_scheduler({"name": "CyclicLR", **kw}, base_lr)
+    ours = []
+    for _ in range(26):
+        ours.append(sched.get_lr())
+        sched.step()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+def test_cyclic_lr_rejects_momentum_cycling():
+    with pytest.raises(ValueError, match="cycle_momentum"):
+        make_lr_scheduler({"name": "CyclicLR", "max_lr": 0.2,
+                           "cycle_momentum": True}, 0.02)
 
 
 def test_polynomial_lr_matches_torch():

@@ -53,11 +53,71 @@ class CosineAnnealingWarmRestarts(LRScheduler):
 
 
 class ConstantLR(LRScheduler):
+    """torch ConstantLR: lr = base_lr * factor until total_iters epochs have
+    elapsed, then base_lr (NOT a flat lr — torch's defaults give lr/3 for the
+    first 5 epochs; use no lr_scheduler_config at all for a constant lr)."""
+
+    def __init__(self, base_lr: float, factor: float = 1.0 / 3,
+                 total_iters: int = 5):
+        super().__init__(base_lr)
+        self.factor = factor
+        self.total_iters = total_iters
+        self.epoch = 0
+
     def get_lr(self) -> float:
-        return self.base_lr
+        return self.base_lr * (self.factor if self.epoch < self.total_iters else 1.0)
 
     def step(self):
-        pass
+        self.epoch += 1
+
+
+class CyclicLR(LRScheduler):
+    """torch CyclicLR: lr oscillates between the optimizer lr (cycle floor,
+    = torch's base_lr argument) and max_lr, rising for step_size_up steps and
+    falling for step_size_down. Amplitude scaling per mode: "triangular"
+    (none), "triangular2" (halved each cycle), "exp_range" (gamma**t).
+    torch steps this per batch; the trainers step per epoch, so configure the
+    step sizes in scheduler-step units. Momentum cycling (torch's
+    cycle_momentum) is an SGD-momentum-group feature with no optax
+    counterpart here — only cycle_momentum=False is supported."""
+
+    def __init__(self, base_lr: float, max_lr: float, step_size_up: int = 2000,
+                 step_size_down: Optional[int] = None, mode: str = "triangular",
+                 gamma: float = 1.0, cycle_momentum: bool = False):
+        super().__init__(base_lr)
+        if mode not in ("triangular", "triangular2", "exp_range"):
+            raise ValueError("mode must be triangular|triangular2|exp_range")
+        if cycle_momentum:
+            raise ValueError(
+                "cycle_momentum=True cycles torch SGD momentum groups, which "
+                "has no equivalent in this optimizer stack; set "
+                "cycle_momentum: false in lr_scheduler_config")
+        self.max_lr = max_lr
+        self.step_size_up = float(step_size_up)
+        self.step_size_down = float(step_size_down if step_size_down is not None
+                                    else step_size_up)
+        self.mode = mode
+        self.gamma = gamma
+        self.t = 0
+
+    def get_lr(self) -> float:
+        total = self.step_size_up + self.step_size_down
+        cycle = math.floor(1 + self.t / total)
+        x = 1.0 + self.t / total - cycle
+        step_ratio = self.step_size_up / total
+        if x <= step_ratio:
+            scale = x / step_ratio
+        else:
+            scale = (x - 1.0) / (step_ratio - 1.0)
+        amp = (self.max_lr - self.base_lr) * scale
+        if self.mode == "triangular2":
+            amp *= 1.0 / (2.0 ** (cycle - 1))
+        elif self.mode == "exp_range":
+            amp *= self.gamma ** self.t
+        return self.base_lr + amp
+
+    def step(self):
+        self.t += 1
 
 
 class StepLR(LRScheduler):
@@ -272,6 +332,7 @@ SCHEDULERS = {
     "CosineAnnealingLR": CosineAnnealingLR,
     "StepLR": StepLR,
     "ConstantLR": ConstantLR,
+    "CyclicLR": CyclicLR,
     "ExponentialLR": ExponentialLR,
     "MultiStepLR": MultiStepLR,
     "LinearLR": LinearLR,
