@@ -28,6 +28,7 @@ def run(args, config_path: str):
         max_num_trace=args.max_num_trace,
         max_circle_thickness=args.max_circle_thickness,
         use_reparam=not args.no_reparam,
+        quantize=(args.quantize if args.quantize != "none" else None),
     )
 
 
@@ -48,5 +49,7 @@ if __name__ == "__main__":
     parser.add_argument("--max_num_trace", type=int, default=5, metavar="", help="Number of past positions in the fading trace")
     parser.add_argument("--max_circle_thickness", type=int, default=10, metavar="", help="Max thickness of trace circles")
     parser.add_argument("--no_reparam", action="store_true", help="Serve the train-form network (advanced arch only)")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
+                        help="Beyond-reference: int8 PTQ serving (calibrates on the first batch)")
     args = parser.parse_args()
     run(args, config_path)

@@ -172,3 +172,41 @@ def test_eval_seg_cli_from_checkpoint(tmp_path, monkeypatch):
     assert out_crop["box_map50"] == pytest.approx(out["box_map50"])
     for k in ("mask_map50", "dice", "dice_matched", "mask_recall50"):
         assert 0.0 <= out_crop[k] <= 1.0, (k, out_crop[k])
+
+
+def test_train_seg_reference_config_key_locations(tmp_path):
+    """Reference-format configs put overlap_masks at train_config level and
+    mask_scale_factor in img_config (/root/reference/train_seg.py:75,
+    dataset/segmentation_dataset.py:20); both must reach the dataset, with
+    train_config.overlap_masks overriding loss_config."""
+    import sys, os as _os
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from tests.test_e2e import _write_seg_dataset
+    import train_seg
+
+    _write_seg_dataset(str(tmp_path / "data/segmentation/train"), n=2, size=64)
+    config = {"train_config": {
+        "data_path": str(tmp_path / "data/segmentation"),
+        "overlap_masks": False,
+        "img_config": {"img_ext": "png", "img_wh": [64, 64],
+                       "mask_scale_factor": 0.5},
+        "dataloader_config": {"max_labels": 8},
+        "loss_config": {"overlap_masks": True},  # must lose to train_config
+    }}
+    ds = train_seg.make_dataset(config, "train")
+    assert ds.overlap_masks is False
+    assert ds.mask_scale_factor == 0.5
+    assert ds.mask_store_wh is None  # explicit scale disables the /4 store
+    img, labels, masks = ds[0]
+    assert masks.shape == (2, 32, 32)  # per-instance binary at half res
+
+    # without the reference keys: overlap from loss_config, /4 proto-res store
+    config2 = {"train_config": {
+        "data_path": str(tmp_path / "data/segmentation"),
+        "img_config": {"img_ext": "png", "img_wh": [64, 64]},
+        "dataloader_config": {"max_labels": 8},
+        "loss_config": {"overlap_masks": True},
+    }}
+    ds2 = train_seg.make_dataset(config2, "train")
+    assert ds2.overlap_masks is True
+    assert ds2.mask_store_wh == (16, 16)

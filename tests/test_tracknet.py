@@ -318,3 +318,44 @@ def test_tracknet_inference_video(tmp_path, monkeypatch):
         batch_size=4, with_summary=True, storage_path=str(tmp_path / "out"))
     assert os.path.exists(os.path.join(storage, "video.mp4"))
     assert os.path.exists(os.path.join(storage, "output.csv"))
+
+
+def test_tracknet_inference_int8_ptq(tmp_path, monkeypatch):
+    """--quantize int8: first-batch PTQ then int8 serving, same protocol as
+    the detection runner. The heatmap decode must still produce a video +
+    csv, and quantize without the deploy form must be rejected."""
+    import pytest as _pytest
+
+    from vision_conglomerate_tpu.infer.tracknet_runner import run_tracknet_inference
+    from vision_conglomerate_tpu.models import TrackNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainTrackNetPipeline, make_optimizer
+
+    monkeypatch.chdir(tmp_path)
+    clip = _write_clip(str(tmp_path / "tn"), n_frames=6, size=(64, 32))
+
+    model = TrackNet(config=BASE_CONFIG)
+    tx, _ = make_optimizer({"name": "Adadelta", "lr": 1.0})
+    pipe = TrainTrackNetPipeline(model, tx, mesh=make_mesh(1),
+                                 sample_input_shape=(32, 64, 9))
+    pipe.best_model_dir = str(tmp_path / "best")
+    pipe.save_best_model()
+    weights = str(tmp_path / "best" / "TrackNet.ckpt.tar")
+    config = {
+        "model_config": BASE_CONFIG,
+        "train_config": {
+            "img_config": {"img_wh": [64, 32], "num_stacks": 3},
+            "heatmap_threshold": 128,
+        },
+    }
+    storage = run_tracknet_inference(
+        path=clip, weights_path=weights, config=config, batch_size=4,
+        img_ext="jpg", with_summary=True, quantize="int8",
+        storage_path=str(tmp_path / "out_int8"))
+    assert os.path.exists(os.path.join(storage, "video.mp4"))
+    assert os.path.exists(os.path.join(storage, "output.csv"))
+
+    with _pytest.raises(ValueError, match="reparam"):
+        run_tracknet_inference(
+            path=clip, weights_path=weights, config=config, quantize="int8",
+            use_reparam=False, storage_path=str(tmp_path / "out_bad"))

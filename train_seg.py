@@ -17,15 +17,25 @@ def make_dataset(config, subdir: str):
 
     tc = config["train_config"]
     img_wh = tuple(tc["img_config"]["img_wh"])
+    # reference-format configs put overlap_masks at train_config level
+    # (/root/reference/train_seg.py:75, config/segmentation/config.yaml:62);
+    # ours ships it in loss_config. train_config wins when both are present.
+    overlap = bool(tc.get(
+        "overlap_masks", tc.get("loss_config", {}).get("overlap_masks", True)))
+    # reference img_config.mask_scale_factor picks the mask raster resolution
+    # (dataset/segmentation_dataset.py:20-47). When unset, store at proto
+    # resolution (input/4) to bound H2D traffic — the loss nearest-resizes to
+    # proto resolution anyway, so supervision is unchanged.
+    msf = (tc.get("img_config", {}) or {}).get("mask_scale_factor")
+    mask_kwargs = ({"mask_scale_factor": float(msf)} if msf is not None
+                   else {"mask_store_wh": (img_wh[0] // 4, img_wh[1] // 4)})
     return SegmentationDataset(
         os.path.join(tc["data_path"], subdir),
         img_ext=tc["img_config"]["img_ext"],
         img_wh=img_wh,
         max_labels=int(tc.get("dataloader_config", {}).get("max_labels", 64) or 64),
-        overlap_masks=bool(tc.get("loss_config", {}).get("overlap_masks", True)),
-        # masks are consumed at proto resolution (input/4); store at input/4 to
-        # bound H2D traffic (the loss nearest-resizes anyway)
-        mask_store_wh=(img_wh[0] // 4, img_wh[1] // 4),
+        overlap_masks=overlap,
+        **mask_kwargs,
     )
 
 
@@ -76,6 +86,8 @@ def run(args, config, config_path, anchors_path):
 
     loss_cfg_kwargs = dict(tc.get("loss_config", {}) or {})
     loss_cfg_kwargs.pop("class_weights", None)
+    if "overlap_masks" in tc:  # reference key location overrides loss_config
+        loss_cfg_kwargs["overlap_masks"] = bool(tc["overlap_masks"])
     if loss_cfg_kwargs.get("scale_w") is not None:
         loss_cfg_kwargs["scale_w"] = tuple(loss_cfg_kwargs["scale_w"])
     loss_cfg = SegmentationLossConfig(num_classes=num_classes, **loss_cfg_kwargs)

@@ -105,6 +105,8 @@ def run_tracknet_inference(
     decode: Optional[str] = None,
     use_reparam: bool = True,
     storage_path: Optional[str] = None,
+    quantize: Optional[str] = None,  # None | "int8" (PTQ on the first batch,
+    # same protocol as the detection runner — see nn/quantize.py)
 ):
     tc = config["train_config"]
     img_cfg = tc["img_config"]
@@ -135,17 +137,34 @@ def run_tracknet_inference(
     else:
         raise OSError(f"{path} not found or unsupported")
 
+    if quantize not in (None, "none", "int8"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if quantize == "int8" and not use_reparam:
+        raise ValueError("--quantize int8 requires the deploy (reparam) form; "
+                         "drop --no_reparam")
     model, variables, folded = load_tracknet_model(
         weights_path, config["model_config"], use_reparam=use_reparam)
 
     fwd_cache = {}
+    quantize_pending = quantize == "int8"
+    int8_on = False
 
     def forward(stacked: np.ndarray, og_hw):
+        nonlocal variables, quantize_pending, int8_on
+        if quantize_pending:  # PTQ calibrated on the first real batch
+            from .runner import quantize_model_int8
+            variables = quantize_model_int8(
+                model, variables, stacked, og_size=og_hw)
+            int8_on, quantize_pending = True, False
+            fwd_cache.clear()
         key = (stacked.shape, og_hw)
         if key not in fwd_cache:
+            from ..nn.quantize import int8_serving
+            local_vars, local_int8 = variables, int8_on
+
             def f(x):
-                with bn_folding(folded):
-                    return model.apply(variables, x, train=False, inference=True,
+                with bn_folding(folded), int8_serving(local_int8):
+                    return model.apply(local_vars, x, train=False, inference=True,
                                        og_size=og_hw)
             fwd_cache[key] = jax.jit(f)
         return fwd_cache[key](jnp.asarray(stacked))
