@@ -6,9 +6,6 @@ assignment/scatter vs loss-layout elementwise vs optimizer).
 
 Usage: python dev/profile_train.py [batch]
 """
-import glob
-import json
-import os
 import shutil
 import sys
 
@@ -62,29 +59,9 @@ def main():
     jax.block_until_ready(state.params)
     jax.profiler.stop_trace()
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    from dev.trace_util import print_top_ops
 
-    xspaces = glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"), recursive=True)
-    data, _ = rtd.xspace_to_tool_data(xspaces, "trace_viewer", {})
-    trace = json.loads(data)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur")]
-    pid_names = {e["pid"]: e.get("args", {}).get("name", "")
-                 for e in trace.get("traceEvents", []) if e.get("ph") == "M"
-                 and e.get("name") == "process_name"}
-    tpu_pids = {p for p, nm in pid_names.items()
-                if "TPU" in nm or "/device" in nm.lower()}
-    dev_events = [e for e in events if e["pid"] in tpu_pids] or events
-
-    agg = {}
-    for e in dev_events:
-        name = e["name"]
-        agg[name] = agg.get(name, 0.0) + e["dur"]
-    total = sum(agg.values())
-    print(f"train step b{BATCH}: {len(dev_events)} device events, "
-          f"{total / 3 / 1000:.2f} ms/step aggregated")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{dur / 3 / 1000:9.3f} ms  {dur / total:6.1%}  {name[:110]}")
+    print_top_ops(LOGDIR, steps=3, label=f"train step b{BATCH}", top_n=40)
 
 
 if __name__ == "__main__":

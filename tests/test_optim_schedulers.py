@@ -269,7 +269,9 @@ def test_cyclic_lr_matches_torch(mode, gamma):
         theirs.append(opt.param_groups[0]["lr"])
         opt.step()
         tsched.step()
-    sched = make_lr_scheduler({"name": "CyclicLR", **kw}, base_lr)
+    # reference-format config: base_lr is a mandatory torch CyclicLR kwarg and
+    # must override the optimizer lr (0.999 decoy), not collide with it
+    sched = make_lr_scheduler({"name": "CyclicLR", "base_lr": base_lr, **kw}, 0.999)
     ours = []
     for _ in range(26):
         ours.append(sched.get_lr())
@@ -372,3 +374,46 @@ def test_plateau_trainer_wiring_feeds_eval_metric():
                                 _evals_seen=0, _plateau_evals_consumed=0)
     BasePipeline._scheduler_step(ns2)
     assert plain.get_lr() == pytest.approx(0.05)
+
+
+@pytest.mark.parametrize("name,kwargs,tol", [
+    ("Rprop", {}, 1e-12),
+    ("ASGD", {"lambd": 1e-3}, 1e-7),
+])
+def test_lazy_lr_seed_with_scheduler(name, kwargs, tol):
+    """torch seeds Rprop's step sizes / ASGD's eta buffer at the FIRST
+    optimizer.step() from the scheduler-adjusted group lr, not the
+    construction lr. ConstantLR(1/3) also jumps back to base_lr at epoch 5,
+    covering post-seed semantics (Rprop ignores lr changes; ASGD re-reads
+    the current lr for each eta recurrence)."""
+    import optax
+
+    base_lr = 0.09
+    w = torch.nn.Parameter(torch.tensor(W0, dtype=torch.float64))
+    opt = getattr(torch.optim, name)([w], lr=base_lr, **kwargs)
+    tsched = torch.optim.lr_scheduler.ConstantLR(opt, factor=1.0 / 3, total_iters=5)
+    t = torch.tensor(QUAD_TARGET, dtype=torch.float64)
+    theirs = []
+    for _ in range(8):
+        opt.zero_grad()
+        loss = 0.5 * ((w - t) ** 2).sum()
+        loss.backward()
+        opt.step()
+        tsched.step()
+        theirs.append(w.detach().numpy().copy())
+
+    with jax.enable_x64(True):
+        tx, lr0 = make_optimizer({"name": name, "lr": base_lr, **kwargs})
+        sched = make_lr_scheduler(
+            {"name": "ConstantLR", "factor": 1.0 / 3, "total_iters": 5}, lr0)
+        wj = jnp.asarray(W0)
+        tj = jnp.asarray(QUAD_TARGET)
+        st = tx.init(wj)
+        ours = []
+        for _ in range(8):
+            st = set_learning_rate(st, sched.get_lr())  # as the trainers do
+            updates, st = tx.update(wj - tj, st, wj)
+            wj = optax.apply_updates(wj, updates)
+            sched.step()
+            ours.append(np.asarray(wj, np.float64))
+    np.testing.assert_allclose(np.stack(ours), np.stack(theirs), atol=tol, rtol=0)

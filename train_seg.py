@@ -21,7 +21,8 @@ def make_dataset(config, subdir: str):
     # (/root/reference/train_seg.py:75, config/segmentation/config.yaml:62);
     # ours ships it in loss_config. train_config wins when both are present.
     overlap = bool(tc.get(
-        "overlap_masks", tc.get("loss_config", {}).get("overlap_masks", True)))
+        "overlap_masks",
+        (tc.get("loss_config", {}) or {}).get("overlap_masks", True)))
     # reference img_config.mask_scale_factor picks the mask raster resolution
     # (dataset/segmentation_dataset.py:20-47). When unset, store at proto
     # resolution (input/4) to bound H2D traffic — the loss nearest-resizes to

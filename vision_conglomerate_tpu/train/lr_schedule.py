@@ -350,4 +350,8 @@ def make_lr_scheduler(config: Optional[Dict[str, Any]], base_lr: float) -> Optio
     name = cfg.pop("name")
     if name not in SCHEDULERS:
         raise KeyError(f"Unknown lr scheduler {name!r}; available: {sorted(SCHEDULERS)}")
+    # torch CyclicLR configs carry their own mandatory base_lr kwarg (the
+    # cycle floor, overriding the optimizer lr — torch does the same); pop it
+    # here so it doesn't collide with the positional base_lr
+    base_lr = float(cfg.pop("base_lr", base_lr))
     return SCHEDULERS[name](base_lr, **cfg)

@@ -112,6 +112,7 @@ def _scale_by_torch_nadam(b1: float, b2: float, eps: float,
 class RpropState(NamedTuple):
     """Module-level (picklable into checkpoint manifests) Rprop state."""
 
+    count: Any
     step_sizes: Any
     prev_grad: Any
 
@@ -122,30 +123,39 @@ def _scale_by_torch_rprop(learning_rate: float, eta_minus: float,
     """torch.optim.Rprop's exact update: per-weight step sizes grown by
     eta_plus on consecutive same-sign gradients, shrunk by eta_minus on a
     sign flip (that step's gradient is also zeroed, torch's 'backtrack'),
-    clamped to [step_min, step_max]; the update is -sign(g)*step. torch's lr
-    only seeds the initial step sizes — later lr changes are no-ops there
-    too, so the scheduler intentionally cannot retune a running Rprop."""
+    clamped to [step_min, step_max]; the update is -sign(g)*step.
+
+    torch seeds the step sizes LAZILY at the first optimizer.step() from
+    group['lr'] — which a scheduler has already adjusted by then — and
+    ignores lr afterwards (the scheduler intentionally cannot retune a
+    running Rprop). Under inject_hyperparams `learning_rate` here is the
+    current injected value each update, so a count-gated seed reproduces
+    torch exactly even when a scheduler changes the epoch-0 lr."""
     def init_fn(params):
         return RpropState(
+            count=jnp.zeros([], jnp.int32),
             step_sizes=jax.tree_util.tree_map(
-                lambda p: jnp.full_like(p, learning_rate,
-                                        dtype=jnp.result_type(float)), params),
+                lambda p: jnp.zeros_like(p, dtype=jnp.result_type(float)),
+                params),
             prev_grad=jax.tree_util.tree_map(jnp.zeros_like, params),
         )
 
     def update_fn(updates, state, params=None):
         del params
         tm = jax.tree_util.tree_map
+        first = state.count == 0
         sign = tm(lambda g, prev: jnp.sign(g * prev), updates, state.prev_grad)
         steps = tm(
             lambda s, sg: jnp.clip(
-                s * jnp.where(sg > 0, eta_plus,
-                              jnp.where(sg < 0, eta_minus, 1.0)),
+                jnp.where(first, learning_rate, s)
+                * jnp.where(sg > 0, eta_plus,
+                            jnp.where(sg < 0, eta_minus, 1.0)),
                 step_min, step_max),
             state.step_sizes, sign)
         g_used = tm(lambda g, sg: jnp.where(sg < 0, 0.0, g), updates, sign)
         upd = tm(lambda gu, st: -jnp.sign(gu) * st, g_used, steps)
-        return upd, RpropState(step_sizes=steps, prev_grad=g_used)
+        return upd, RpropState(count=state.count + 1, step_sizes=steps,
+                               prev_grad=g_used)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -160,20 +170,26 @@ class ASGDState(NamedTuple):
 
 
 def _scale_by_torch_asgd(learning_rate: float, lambd: float, alpha: float,
-                         t0: float,
                          weight_decay: float) -> optax.GradientTransformation:
     """torch.optim.ASGD's exact iterate: with eta_t from the previous step,
     p <- p*(1 - lambd*eta_t) - eta_t*(g + wd*p), then
-    eta_{t+1} = lr / (1 + lambd*lr*t)^alpha."""
+    eta_{t+1} = lr / (1 + lambd*lr*t)^alpha.
+
+    Like Rprop, torch seeds the eta buffer lazily at the first step from the
+    (possibly scheduler-adjusted) group lr; the count-gated seed below
+    matches that. torch's t0 kwarg only shapes the Polyak average buffer
+    (`ax`), which shadows the iterate without affecting it and is never read
+    by the reference pipeline — so it is accepted in the config and ignored,
+    which IS torch's live-weight behavior."""
     def init_fn(params):
         del params
         return ASGDState(count=jnp.zeros([], jnp.int32),
-                         eta=jnp.asarray(learning_rate, jnp.result_type(float)))
+                         eta=jnp.zeros([], jnp.result_type(float)))
 
     def update_fn(updates, state, params):
         if params is None:
             raise ValueError("ASGD requires params (decayed iterate)")
-        eta = state.eta
+        eta = jnp.where(state.count == 0, learning_rate, state.eta)
         new_updates = jax.tree_util.tree_map(
             lambda g, p: -eta * (g + weight_decay * p) - lambd * eta * p,
             updates, params)
@@ -284,12 +300,12 @@ def make_optimizer(
     elif name == "ASGD":
         lambd = float(cfg.pop("lambd", 1e-4))
         alpha = float(cfg.pop("alpha", 0.75))
-        t0 = float(cfg.pop("t0", 1e6))
+        cfg.pop("t0", None)  # Polyak-buffer-only in torch; see _scale_by_torch_asgd
         wd = float(cfg.pop("weight_decay", 0.0))
 
         def opt(learning_rate):
             return _scale_by_torch_asgd(
-                learning_rate, lambd=lambd, alpha=alpha, t0=t0, weight_decay=wd)
+                learning_rate, lambd=lambd, alpha=alpha, weight_decay=wd)
     else:
         raise KeyError(
             f"Unknown optimizer {name!r}; supported: Adam, AdamW, SGD, Adadelta, "
