@@ -20,7 +20,7 @@ CFG = {
 }
 
 
-def main(batch=8):
+def main(batch=8, int8=False):
     model = TrackNet(config=CFG, dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, 352, 640, 9), jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x0, train=False)
@@ -29,12 +29,19 @@ def main(batch=8):
     if ds:
         dv["batch_stats"] = ds
 
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 352, 640, 9), jnp.float32)
+
+    from vision_conglomerate_tpu.nn.quantize import int8_serving
+
+    if int8:  # same PTQ protocol as infer/runner.quantize_model_int8
+        from vision_conglomerate_tpu.infer.runner import quantize_model_int8
+        dv = quantize_model_int8(model, dv, x)
+
     def fwd(a):
-        with bn_folding():
+        with bn_folding(), int8_serving(int8):
             return model.apply(dv, a, train=False, inference=True)
 
     serve = jax.jit(fwd)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 352, 640, 9), jnp.float32)
     for _ in range(3):
         jax.block_until_ready(serve(x))
     t0 = time.perf_counter()
@@ -42,9 +49,10 @@ def main(batch=8):
         out = serve(x)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / 10
-    print(f"tracknet base 640x352 batch={batch}: {dt*1e3:.2f} ms/batch, "
-          f"{batch/dt:.1f} frames/s")
+    print(f"tracknet base 640x352 batch={batch}{' int8' if int8 else ''}: "
+          f"{dt*1e3:.2f} ms/batch, {batch/dt:.1f} frames/s")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+         int8="int8" in sys.argv[2:])
