@@ -90,6 +90,109 @@ def test_detection_loss_grad_parity(ref_modules, seed):  # noqa: F811
 
 
 # ---------------------------------------------------------------------------
+# Keypoint path: gradient parity
+# ---------------------------------------------------------------------------
+
+NKP = 2
+
+
+def _torch_kp_decode(x, c, nkp):
+    import torch
+    xy = torch.sigmoid(x[..., 1 + c:3 + c]) * 2 - 0.5
+    wh = (torch.sigmoid(x[..., 3 + c:5 + c]) * 2) ** 2
+    kp = x[..., 5 + c:].reshape(*x.shape[:-1], nkp, 5)
+    kp = torch.cat([kp[..., :2].sigmoid(), kp[..., 2:]], dim=-1)
+    return torch.cat(
+        [x[..., :1 + c], xy, wh, kp.reshape(*x.shape[:-1], nkp * 5)], dim=-1)
+
+
+def _jax_kp_decode(x, c, nkp):
+    xy = jax.nn.sigmoid(x[..., 1 + c:3 + c]) * 2 - 0.5
+    wh = jnp.square(jax.nn.sigmoid(x[..., 3 + c:5 + c]) * 2)
+    kp = x[..., 5 + c:].reshape(x.shape[:-1] + (nkp, 5))
+    kp = jnp.concatenate([jax.nn.sigmoid(kp[..., :2]), kp[..., 2:]], axis=-1)
+    return jnp.concatenate(
+        [x[..., :1 + c], xy, wh, kp.reshape(x.shape[:-1] + (nkp * 5,))], axis=-1)
+
+
+def _make_kp_inputs(seed, b=3, m=4, c=2):
+    """Labels with nkp finite keypoints per box (the only protocol the
+    reference's visibility CE accepts: its inf-padding is comment-only,
+    detection_loss.py:167-171 — an inf target would crash the int64 cast)."""
+    rng = np.random.default_rng(seed)
+    d = 1 + c + 4 + 5 * NKP
+    raw = {g: rng.normal(size=(b, g, g, 3, d)).astype(np.float32) for g in GRIDS}
+    labels = np.zeros((b, m, 5 + 3 * NKP), np.float32)
+    mask = np.zeros((b, m), bool)
+    rows = []
+    for i in range(b):
+        n = int(rng.integers(1, m + 1))
+        for j in range(n):
+            cls = rng.integers(0, c)
+            xy = rng.uniform(0.1, 0.9, 2)
+            wh = rng.uniform(0.05, 0.5, 2)
+            kps = []
+            for _ in range(NKP):
+                kps += [*rng.uniform(0.0, 1.0, 2), float(rng.integers(0, 3))]
+            labels[i, j] = [cls, *xy, *wh, *kps]
+            mask[i, j] = True
+            rows.append([i, cls, *xy, *wh, *kps])
+    return raw, labels, mask, np.asarray(rows, np.float32)
+
+
+def test_detection_loss_kp_grad_parity(ref_modules):  # noqa: F811
+    """Keypoint visibility-CE + coordinate-MSE gradients must match the
+    reference (…:147-173) — the kp coupling (1+kpv)*kpc makes kpv gradients
+    scale with kpc and vice versa, so a divergence in either shows up."""
+    import torch
+    _, RefDetectionLoss = ref_modules
+    c = 2
+    raw, labels, mask, concat = _make_kp_inputs(0, c=c)
+
+    fake_model = types.SimpleNamespace(
+        num_classes=c,
+        num_keypoints=NKP,
+        sm_anchors=torch.nn.Parameter(torch.from_numpy(ANCHORS["sm"])),
+        md_anchors=torch.nn.Parameter(torch.from_numpy(ANCHORS["md"])),
+        lg_anchors=torch.nn.Parameter(torch.from_numpy(ANCHORS["lg"])),
+    )
+    ref_loss_fn = RefDetectionLoss(
+        fake_model, box_w=0.1, conf_w=1.0, class_w=0.3, keypoints_w=0.8,
+        label_smoothing=0.001, scale_w=[4.0, 2.0, 1.0])
+    raw_t = {g: torch.tensor(raw[g], requires_grad=True) for g in GRIDS}
+    preds_t = tuple(_torch_kp_decode(raw_t[g], c, NKP) for g in GRIDS)
+    ref_total, ref_metrics = ref_loss_fn(preds_t, torch.from_numpy(concat))
+    ref_total.backward()
+    ref_grads = {g: raw_t[g].grad.numpy() for g in GRIDS}
+
+    from vision_conglomerate_tpu.losses import DetectionLossConfig, detection_loss
+    cfg = DetectionLossConfig(
+        num_classes=c, num_keypoints=NKP, box_w=0.1, conf_w=1.0, class_w=0.3,
+        keypoints_w=0.8, label_smoothing=0.001, scale_w=(4.0, 2.0, 1.0))
+    anchors = [jnp.asarray(ANCHORS[k]) for k in ("sm", "md", "lg")]
+
+    def total_loss(raw_tree):
+        preds = [_jax_kp_decode(raw_tree[g], c, NKP) for g in GRIDS]
+        loss, _ = detection_loss(
+            preds, jnp.asarray(labels), jnp.asarray(mask), anchors, cfg)
+        return loss
+
+    our_total, our_metrics = detection_loss(
+        [_jax_kp_decode(jnp.asarray(raw[g]), c, NKP) for g in GRIDS],
+        jnp.asarray(labels), jnp.asarray(mask), anchors, cfg)
+    assert float(our_total) == pytest.approx(float(ref_total), rel=2e-4, abs=1e-5)
+    for key in ("kpv_loss", "kpc_loss", "kp_loss"):
+        assert float(our_metrics[key]) == pytest.approx(
+            float(ref_metrics[key]), rel=2e-3, abs=2e-4), key
+
+    our_grads = jax.grad(total_loss)({g: jnp.asarray(raw[g]) for g in GRIDS})
+    for g in GRIDS:
+        np.testing.assert_allclose(
+            np.asarray(our_grads[g]), ref_grads[g], rtol=2e-3, atol=2e-6,
+            err_msg=f"grid {g}")
+
+
+# ---------------------------------------------------------------------------
 # Segmentation loss: value + gradient parity
 # ---------------------------------------------------------------------------
 
