@@ -1,0 +1,140 @@
+"""Training-trajectory parity: N SGD steps in both frameworks from identical
+ported weights on identical batches must produce the same loss trajectory and
+the same updated parameters.
+
+This is the strongest offline correctness statement available: it chains
+model forward (BN in train mode), loss, autodiff through every layer, and the
+optimizer update — a divergence anywhere in that stack compounds across steps
+and shows up here. Complements tests/test_torch_port_parity.py (forward only)
+and tests/test_grad_parity.py (loss-local gradients only).
+
+Reference: modules/detection.py + modules/detection_loss.py driven the way
+train_det.py:120-151 does (loss -> backward -> SGD step).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_loss_parity import ref_modules  # noqa: F401
+from tests.test_torch_port_parity import ANCHORS, CONFIG
+
+STEPS = 3
+LR = 0.05
+IMG = 64
+
+
+def _batches(seed, steps, b=2):
+    rng = np.random.default_rng(seed)
+    xs = [rng.uniform(size=(b, IMG, IMG, 3)).astype(np.float32) for _ in range(steps)]
+    labels = np.zeros((b, 3, 5), np.float32)
+    mask = np.zeros((b, 3), bool)
+    rows = []
+    for i in range(b):
+        n = int(rng.integers(1, 4))
+        for j in range(n):
+            cls = rng.integers(0, 2)
+            xy = rng.uniform(0.2, 0.8, 2)
+            wh = rng.uniform(0.1, 0.5, 2)
+            labels[i, j] = [cls, *xy, *wh]
+            mask[i, j] = True
+            rows.append([i, cls, *xy, *wh])
+    return xs, labels, mask, np.asarray(rows, np.float32)
+
+
+def test_sgd_training_trajectory_parity(ref_modules):  # noqa: F811
+    import torch
+    from modules.detection import DetectionNet as RefDetectionNet
+    from modules.detection_loss import DetectionLoss as RefDetectionLoss
+
+    from vision_conglomerate_tpu.losses import DetectionLossConfig, detection_loss
+    from vision_conglomerate_tpu.models import DetectionNet
+    from vision_conglomerate_tpu.tools.torch_port import convert_torch_state_dict
+
+    torch.manual_seed(0)
+    ref_model = RefDetectionNet(3, num_classes=2, config=CONFIG, anchors=ANCHORS)
+    ref_model.train()
+    ref_loss_fn = RefDetectionLoss(
+        ref_model, box_w=0.1, conf_w=1.0, class_w=0.3, label_smoothing=0.001,
+        scale_w=[4.0, 2.0, 1.0])
+    opt = torch.optim.SGD(ref_model.parameters(), lr=LR)
+
+    xs, labels, mask, concat = _batches(0, STEPS)
+
+    ref_losses = []
+    ref_after_step1 = None
+    for x in xs:
+        opt.zero_grad()
+        preds = ref_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        loss, _ = ref_loss_fn(preds, torch.from_numpy(concat))
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+        if ref_after_step1 is None:  # snapshot: params after exactly one step
+            ref_after_step1 = {k: v.clone() for k, v in ref_model.state_dict().items()}
+
+    # ---- ours: same ported init, optax.sgd, jitted step
+    torch.manual_seed(0)
+    init_model = RefDetectionNet(3, num_classes=2, config=CONFIG, anchors=ANCHORS)
+    variables = convert_torch_state_dict(init_model.state_dict())
+    model = DetectionNet(num_classes=2, config=CONFIG, anchors=ANCHORS)
+    anchors = [jnp.asarray(ANCHORS[k], jnp.float32) for k in ("sm", "md", "lg")]
+    cfg = DetectionLossConfig(
+        num_classes=2, box_w=0.1, conf_w=1.0, class_w=0.3, label_smoothing=0.001,
+        scale_w=(4.0, 2.0, 1.0))
+
+    import optax
+    tx = optax.sgd(LR)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    labels_j, mask_j = jnp.asarray(labels), jnp.asarray(mask)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x):
+        def loss_fn(p):
+            preds, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
+            loss, _ = detection_loss(preds, labels_j, mask_j, anchors, cfg)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    our_losses = []
+    our_after_step1 = None
+    for x in xs:
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(x))
+        our_losses.append(float(loss))
+        if our_after_step1 is None:
+            our_after_step1 = params
+
+    # Tolerances grow per step: fp rounding noise (the conv-bias grads are
+    # analytically zero under BN, so both sides differentiate pure noise
+    # there) amplifies ~40x per SGD step through the BN rsqrt dynamics —
+    # measured at both lr=0.01 and lr=0.05, so it is chaotic amplification,
+    # not lr-scaled systematic error. A *semantic* divergence (misplaced
+    # stop-gradient, wrong BN update, wrong optimizer formula) produces
+    # per-step errors orders of magnitude above these bounds.
+    tols = [1e-5, 1e-3, 5e-3]
+    for i, (ours, ref) in enumerate(zip(our_losses, ref_losses)):
+        assert ours == pytest.approx(ref, rel=tols[i], abs=tols[i]), f"step {i}"
+
+    # Updated parameters after exactly ONE step: params_1 = params_0 - lr*grad
+    # at the shared ported init, so this is a direct whole-model
+    # gradient-parity assertion (every kernel, BN scale/bias, head) with no
+    # chaotic compounding yet. (After 3 steps the gradient *fields* diverge
+    # ~25% on the early convs while the losses still agree to 5e-3 — gradient
+    # noise amplifies faster than forward noise, measured in round 3 — so the
+    # whole-tree comparison is only meaningful at step 1.)
+    ported = convert_torch_state_dict(ref_after_step1)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ported["params"])[0]
+    flat_ours = dict(jax.tree_util.tree_flatten_with_path(our_after_step1)[0])
+    assert flat_ours.keys() == dict(flat_ref).keys()
+    for path, ref_v in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_ours[path]), np.asarray(ref_v),
+            rtol=1e-3, atol=2e-4, err_msg=str(path))
