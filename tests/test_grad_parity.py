@@ -89,6 +89,30 @@ def test_detection_loss_grad_parity(ref_modules, seed):  # noqa: F811
             err_msg=f"grid {g}")
 
 
+def test_tracknet_ce_value_and_grad_parity():
+    """TrackNet's loss is nn.CrossEntropyLoss over the 256 intensity bins
+    (reference train_tracknet.py:97, pipeline/tracknet_trainer.py:220-222);
+    ours is losses.focal.softmax_cross_entropy mean'd over pixels. Value and
+    gradient must agree."""
+    import torch
+    from vision_conglomerate_tpu.losses.focal import softmax_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 8, 16, 256)).astype(np.float32)
+    gt = rng.integers(0, 256, size=(2, 8, 16))
+
+    lt = torch.tensor(logits, requires_grad=True)
+    ref = torch.nn.CrossEntropyLoss()(lt.flatten(0, -2), torch.from_numpy(gt).flatten())
+    ref.backward()
+
+    def loss(lj):
+        return softmax_cross_entropy(lj, jnp.asarray(gt, jnp.int32)).mean()
+
+    ours, grad = jax.value_and_grad(loss)(jnp.asarray(logits))
+    assert float(ours) == pytest.approx(float(ref), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), lt.grad.numpy(), rtol=1e-4, atol=1e-7)
+
+
 # ---------------------------------------------------------------------------
 # Keypoint path: gradient parity
 # ---------------------------------------------------------------------------
