@@ -1,25 +1,34 @@
 """Shared xprof-trace parsing for the dev profile scripts.
 
-Parses trace-viewer events from an xplane proto dir, keeps TPU-core lanes,
-aggregates per-op self time, and prints the top ops. Used by
-dev/profile_serve.py and dev/profile_train.py.
+jax.profiler.start_trace writes both an xplane proto and a ready-made
+trace-viewer JSON (`*.trace.json.gz`) per run. The tensorboard-plugin
+converter in this image is unusable (its _pywrap_profiler lacks
+xspace_to_tools_data), so parse the JSON directly: keep device lanes,
+aggregate per-op self time, print the top ops. Used by dev/profile_serve.py
+and dev/profile_train.py.
 """
 import glob
+import gzip
 import json
 import os
 
 
-def print_top_ops(logdir: str, steps: int, label: str, top_n: int = 30):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+def load_trace_events(logdir: str):
+    traces = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if not traces:
+        raise FileNotFoundError(f"no *.trace.json.gz under {logdir}")
+    with gzip.open(traces[-1], "rt") as f:
+        return json.load(f).get("traceEvents", [])
 
-    xspaces = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    data, _ = rtd.xspace_to_tool_data(xspaces, "trace_viewer", {})
-    trace = json.loads(data)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur")]
-    # keep only TPU-core lanes (XLA ops), drop host threads
+
+def print_top_ops(logdir: str, steps: int, label: str, top_n: int = 30):
+    raw = load_trace_events(logdir)
+    events = [e for e in raw if e.get("ph") == "X" and e.get("dur")]
+    # keep only TPU/device lanes (XLA ops), drop host threads
     pid_names = {e["pid"]: e.get("args", {}).get("name", "")
-                 for e in trace.get("traceEvents", []) if e.get("ph") == "M"
+                 for e in raw if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
     tpu_pids = {p for p, nm in pid_names.items()
                 if "TPU" in nm or "/device" in nm.lower()}
