@@ -4,8 +4,10 @@ The serve path is settled at ~43% MFU; the train step measures 15.6%
 (dev/bench_train_step.py) — this trace attributes the gap (backward convs vs
 assignment/scatter vs loss-layout elementwise vs optimizer).
 
-Usage: python dev/profile_train.py [batch]
+Usage: python dev/profile_train.py [batch] [img_size]
+(img_size defaults to 640; pass e.g. `2 64` for a CPU smoke run)
 """
+import os
 import shutil
 import sys
 
@@ -14,9 +16,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("VCT_CPU"):  # CPU smoke (the axon pin ignores env vars)
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, ".")
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 640
 LOGDIR = "/tmp/train_trace"
 
 
@@ -34,11 +40,11 @@ def main():
     tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
     pipe = TrainDetectionPipeline(
         model, DetectionLossConfig(num_classes=2), tx,
-        mesh=make_mesh(1), sample_input_shape=(640, 640, 3))
+        mesh=make_mesh(1), sample_input_shape=(SIZE, SIZE, 3))
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
-        (rng.uniform(size=(BATCH, 640, 640, 3)) * 255).astype(np.uint8))
+        (rng.uniform(size=(BATCH, SIZE, SIZE, 3)) * 255).astype(np.uint8))
     labels = np.zeros((BATCH, 16, 5), np.float32)
     labels[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
     labels[:, 1] = [0, 0.25, 0.3, 0.04, 0.04]
