@@ -203,3 +203,25 @@ def test_bytetrack_birth_threshold():
     # an established track DOES match a 0.35-score detection (stage 1)
     out = tracker.update_with_detections(mk(12, 0.35))
     assert len(out) == 1 and int(out.tracker_id[0]) == tid
+
+
+def test_bytetrack_assign_cost_limit_semantics():
+    """_assign must reproduce lap.lapjv(cost_limit=thresh), where the limit
+    PARTICIPATES in the optimization (unmatched priced at thresh/2 a side) —
+    not global-optimize-then-filter (docs/BYTETRACK_AUDIT.md §4.1)."""
+    cost = np.asarray([[0.0, 0.30], [0.31, 1e3]])
+    # optimize-then-filter would match both mediocre pairs (0.30 + 0.31);
+    # the cost-limited optimum takes the 0-cost pair and leaves the rest
+    # unmatched (0 + 0.25 + 0.25 < 0.61)
+    matches, un_t, un_d = ByteTrack._assign(cost, thresh=0.5)
+    assert matches == [(0, 0)]
+    assert un_t == [1] and un_d == [1]
+
+    # over-limit pairs can never match
+    matches, un_t, un_d = ByteTrack._assign(np.asarray([[0.9]]), thresh=0.5)
+    assert matches == [] and un_t == [0] and un_d == [0]
+
+    # plain under-limit optimum is unchanged
+    matches, _, _ = ByteTrack._assign(
+        np.asarray([[0.1, 0.4], [0.4, 0.1]]), thresh=0.5)
+    assert sorted(matches) == [(0, 0), (1, 1)]

@@ -186,22 +186,32 @@ class ByteTrack:
     @staticmethod
     def _assign(cost: np.ndarray, thresh: float
                 ) -> Tuple[list, list, list]:
-        """Hungarian assignment; pairs with cost > thresh are rejected.
+        """Cost-limited assignment, exactly lap.lapjv(cost_limit=thresh).
 
-        The original uses lap.lapjv(cost_limit=thresh); scipy optimizes
-        globally then we drop over-threshold pairs — equivalent except in
-        rare degenerate cost ties (docs/BYTETRACK_AUDIT.md §4).
+        The original's cost_limit PARTICIPATES in the optimization (leaving a
+        row/column unmatched is priced at thresh/2 a side), which is not the
+        same as optimizing globally and dropping over-threshold pairs: e.g.
+        cost [[0, .3], [.31, 1e3]] at limit .5 — the global optimum matches
+        both mediocre pairs (.3+.31), the cost-limited optimum matches only
+        the 0-cost pair and leaves the rest unmatched (0+.25+.25). Solve the
+        same extended problem lap builds (lap/lap.py lapjv(extend_cost=True,
+        cost_limit=...): slack blocks at cost_limit/2, slack-slack 0) with
+        scipy's Hungarian — identical LP, so identical optimum modulo
+        degenerate fp ties (docs/BYTETRACK_AUDIT.md §4).
         """
         n_t, n_d = cost.shape
         if cost.size == 0:
             return [], list(range(n_t)), list(range(n_d))
-        rows, cols = linear_sum_assignment(cost)
+        ext = np.full((n_t + n_d, n_t + n_d), thresh / 2.0, dtype=np.float64)
+        ext[n_t:, n_d:] = 0.0
+        ext[:n_t, :n_d] = cost
+        rows, cols = linear_sum_assignment(ext)
         matches, matched_t, matched_d = [], set(), set()
         for r, c in zip(rows, cols):
-            if cost[r, c] <= thresh:
-                matches.append((r, c))
-                matched_t.add(r)
-                matched_d.add(c)
+            if r < n_t and c < n_d:
+                matches.append((int(r), int(c)))
+                matched_t.add(int(r))
+                matched_d.add(int(c))
         un_t = [i for i in range(n_t) if i not in matched_t]
         un_d = [i for i in range(n_d) if i not in matched_d]
         return matches, un_t, un_d
