@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
+from scipy.linalg import cho_factor, cho_solve
 from scipy.optimize import linear_sum_assignment
 
 
@@ -117,7 +118,11 @@ class _KalmanFilter:
         ]
         r = np.diag(np.square(std))
         s = self._H @ cov @ self._H.T + r
-        k = cov @ self._H.T @ np.linalg.inv(s)
+        # same Cholesky solve as the original kalman_filter.py update()
+        # (cho_factor/cho_solve), not an explicit inverse — removes the
+        # last-ulp gain-rounding caveat from docs/BYTETRACK_AUDIT.md §2
+        chol = cho_factor(s, lower=True, check_finite=False)
+        k = cho_solve(chol, (cov @ self._H.T).T, check_finite=False).T
         innovation = meas - self._H @ mean
         mean = mean + k @ innovation
         cov = cov - k @ s @ k.T
