@@ -43,7 +43,15 @@ def _batches(seed, steps, b=2):
     return xs, labels, mask, np.asarray(rows, np.float32)
 
 
-def test_sgd_training_trajectory_parity(ref_modules):  # noqa: F811
+@pytest.mark.parametrize("optimizer", ["sgd", "adam"])
+def test_training_trajectory_parity(ref_modules, optimizer):  # noqa: F811
+    """sgd: raw optax.sgd, plus a whole-tree one-step parameter comparison.
+    adam: the PRODUCTION factory (train.make_optimizer, inject_hyperparams
+    chain) vs torch.optim.Adam — losses only, because Adam's first-step
+    update on the analytically-zero BN'd-conv-bias grads is ±0.32*lr with a
+    noise-determined sign in BOTH frameworks, so the param trees legitimately
+    differ at O(lr) there while every loss-relevant update matches (the loss
+    trajectory is what a wrong bias-correction/eps would blow up)."""
     import torch
     from modules.detection import DetectionNet as RefDetectionNet
     from modules.detection_loss import DetectionLoss as RefDetectionLoss
@@ -58,7 +66,10 @@ def test_sgd_training_trajectory_parity(ref_modules):  # noqa: F811
     ref_loss_fn = RefDetectionLoss(
         ref_model, box_w=0.1, conf_w=1.0, class_w=0.3, label_smoothing=0.001,
         scale_w=[4.0, 2.0, 1.0])
-    opt = torch.optim.SGD(ref_model.parameters(), lr=LR)
+    if optimizer == "sgd":
+        opt = torch.optim.SGD(ref_model.parameters(), lr=LR)
+    else:
+        opt = torch.optim.Adam(ref_model.parameters(), lr=1e-3)
 
     xs, labels, mask, concat = _batches(0, STEPS)
 
@@ -85,7 +96,11 @@ def test_sgd_training_trajectory_parity(ref_modules):  # noqa: F811
         scale_w=(4.0, 2.0, 1.0))
 
     import optax
-    tx = optax.sgd(LR)
+    if optimizer == "sgd":
+        tx = optax.sgd(LR)
+    else:
+        from vision_conglomerate_tpu.train import make_optimizer
+        tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
     params, batch_stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
     labels_j, mask_j = jnp.asarray(labels), jnp.asarray(mask)
@@ -122,6 +137,9 @@ def test_sgd_training_trajectory_parity(ref_modules):  # noqa: F811
     tols = [1e-5, 1e-3, 5e-3]
     for i, (ours, ref) in enumerate(zip(our_losses, ref_losses)):
         assert ours == pytest.approx(ref, rel=tols[i], abs=tols[i]), f"step {i}"
+
+    if optimizer != "sgd":
+        return  # param-tree comparison is sgd-only (see docstring)
 
     # Updated parameters after exactly ONE step: params_1 = params_0 - lr*grad
     # at the shared ported init, so this is a direct whole-model
