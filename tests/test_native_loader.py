@@ -168,3 +168,27 @@ def test_decode_throughput_report(capsys):
     print(f"\n640px PNG decode+resize: native {native_ips:.1f} img/s, "
           f"PIL {pil_ips:.1f} img/s ({native_ips / pil_ips:.2f}x, 1-CPU host)")
     assert native_ips > 0 and pil_ips > 0
+
+
+def test_segmentation_dataset_native_backend(tmp_path):
+    """SegmentationDataset honors decode_backend='native' (round 3: it
+    previously ignored the inherited kwarg): identical labels/masks, pixels
+    within 1 LSB of the PIL path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.test_e2e import _write_seg_dataset
+    from vision_conglomerate_tpu.data import SegmentationDataset
+
+    root = str(tmp_path / "seg")
+    _write_seg_dataset(root, n=3, size=96)
+    mk = lambda backend: SegmentationDataset(  # noqa: E731
+        root, img_ext="png", img_wh=(64, 64), max_labels=8,
+        overlap_masks=True, mask_store_wh=(16, 16), decode_backend=backend)
+    ds_pil, ds_nat = mk("pil"), mk("native")
+    for i in range(3):
+        a, la, ma = ds_pil[i]
+        b, lb, mb = ds_nat[i]
+        assert a.shape == b.shape and a.dtype == b.dtype == np.uint8
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(ma, mb)

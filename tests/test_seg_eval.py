@@ -210,3 +210,9 @@ def test_train_seg_reference_config_key_locations(tmp_path):
     ds2 = train_seg.make_dataset(config2, "train")
     assert ds2.overlap_masks is True
     assert ds2.mask_store_wh == (16, 16)
+
+    # dataloader_config.decode_backend reaches the dataset (round 3: the
+    # inherited kwarg was silently ignored by the seg __getitem__ before)
+    config2["train_config"]["dataloader_config"]["decode_backend"] = "native"
+    ds3 = train_seg.make_dataset(config2, "train")
+    assert ds3._native is not None

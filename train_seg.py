@@ -30,12 +30,14 @@ def make_dataset(config, subdir: str):
     msf = (tc.get("img_config", {}) or {}).get("mask_scale_factor")
     mask_kwargs = ({"mask_scale_factor": float(msf)} if msf is not None
                    else {"mask_store_wh": (img_wh[0] // 4, img_wh[1] // 4)})
+    dl_cfg = tc.get("dataloader_config", {}) or {}
     return SegmentationDataset(
         os.path.join(tc["data_path"], subdir),
         img_ext=tc["img_config"]["img_ext"],
         img_wh=img_wh,
-        max_labels=int(tc.get("dataloader_config", {}).get("max_labels", 64) or 64),
+        max_labels=int(dl_cfg.get("max_labels", 64) or 64),
         overlap_masks=overlap,
+        decode_backend=dl_cfg.get("decode_backend", "pil"),
         **mask_kwargs,
     )
 

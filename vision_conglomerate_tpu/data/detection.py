@@ -96,19 +96,23 @@ class DetectionDataset:
             raw = np.concatenate([bbox, kp.reshape(kp.shape[0], -1)], axis=1)
         return raw
 
+    def _load_image(self, idx: int) -> np.ndarray:
+        """Resized uint8 RGB via the configured decode backend (shared with
+        SegmentationDataset)."""
+        if self._native is not None:
+            with open(self.img_files[idx], "rb") as f:
+                return self._native.decode_resize(f.read(), self.img_wh,
+                                                  resize="pil")
+        return load_and_process_img(
+            self.img_files[idx], img_wh=self.img_wh, scale=False,
+            convert_to="RGB")
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         # ship uint8: PIL resizes the uint8 image BEFORE the reference's /255
         # (utils/utils.py:32-40), so normalizing on device after an identical
         # uint8 resize is bit-equivalent and cuts H2D traffic 4x — the
         # trainers normalize in-jit (ops/preprocess.normalize_images).
-        if self._native is not None:
-            with open(self.img_files[idx], "rb") as f:
-                img = self._native.decode_resize(f.read(), self.img_wh,
-                                                 resize="pil")
-        else:
-            img = load_and_process_img(
-                self.img_files[idx], img_wh=self.img_wh, scale=False,
-                convert_to="RGB")
+        img = self._load_image(idx)
         labels = self.load_labels(self.annotation_files[idx]).astype(np.float32)
         return img, labels
 

@@ -42,9 +42,9 @@ class SegmentationDataset(DetectionDataset):
         return 5
 
     def __getitem__(self, idx: int):
-        # uint8 out; device-side /255 in the trainer (see DetectionDataset)
-        img = load_and_process_img(
-            self.img_files[idx], img_wh=self.img_wh, scale=False, convert_to="RGB")
+        # uint8 out; device-side /255 in the trainer (see DetectionDataset);
+        # honors decode_backend="native" via the shared helper
+        img = self._load_image(idx)
         raw = load_polygon_labels(self.annotation_files[idx])
         h, w = img.shape[0], img.shape[1]
 
