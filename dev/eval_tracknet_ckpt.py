@@ -38,7 +38,9 @@ def main():
         img_wh=tuple(img_cfg["img_wh"]),
         avg_diameter=int(img_cfg.get("avg_diameter", 5)),
         transfer_dtype="uint8")
-    eval_dl = DataLoader(eval_ds, 8, shuffle=False, num_workers=2)
+    # wrap-padded tail = one compiled shape; evaluate() masks the padded rows
+    eval_dl = DataLoader(eval_ds, 8, shuffle=False, num_workers=2,
+                         pad_last="wrap")
 
     import jax.numpy as jnp
 

@@ -27,7 +27,7 @@ def box_polygon(cx, cy, w, h, angle):
     return rot + [cx, cy]
 
 
-def make_split(root, n, size, rng):
+def make_split(root, n, size, rng, ext="png"):
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         base = rng.integers(40, 160, size=3)
@@ -55,7 +55,7 @@ def make_split(root, n, size, rng):
                          outline=(240, 240, 240))
             flat = (np.clip(poly, 0, size - 1) / size).reshape(-1)
             lines.append(str(cls) + " " + " ".join(f"{v:.6f}" for v in flat))
-        im.save(os.path.join(root, f"img_{i:04d}.png"))
+        im.save(os.path.join(root, f"img_{i:04d}.{ext}"))
         with open(os.path.join(root, f"img_{i:04d}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
 
@@ -65,9 +65,14 @@ def main():
     n_train = int(sys.argv[2]) if len(sys.argv) > 2 else 160
     n_valid = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     size = int(sys.argv[4]) if len(sys.argv) > 4 else 640
-    make_split(os.path.join(out, "train"), n_train, size, np.random.default_rng(0))
-    make_split(os.path.join(out, "valid"), n_valid, size, np.random.default_rng(1))
-    print(f"wrote {n_train} train + {n_valid} valid {size}px seg images to {out}")
+    # default png (lossless; exercises the native libpng decode path); the
+    # shipped config keeps the reference's img_ext "jpg" — pass ext=jpg here
+    # or point train_seg at a config with img_ext: png (docs/BASELINE.md
+    # hardware runs use the latter).
+    ext = sys.argv[5] if len(sys.argv) > 5 else "png"
+    make_split(os.path.join(out, "train"), n_train, size, np.random.default_rng(0), ext)
+    make_split(os.path.join(out, "valid"), n_valid, size, np.random.default_rng(1), ext)
+    print(f"wrote {n_train} train + {n_valid} valid {size}px seg {ext} images to {out}")
 
 
 if __name__ == "__main__":

@@ -148,7 +148,8 @@ def test_tracknet_trainer_accepts_uint8(tmp_path):
         jnp.asarray(heatmaps))
     loss_u8, *_ = pipe._eval_forward(
         pipe.state, jnp.asarray(frames_u8), jnp.asarray(heatmaps))
-    np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-5)
+    np.testing.assert_allclose(  # per-sample eval losses (B,)
+        np.asarray(loss_u8), np.asarray(loss_f32), rtol=1e-5)
     state2, m = pipe._train_step(pipe.state, lr, jnp.asarray(frames_u8),
                                  jnp.asarray(heatmaps))
     assert np.isfinite(float(m["loss"]))
@@ -238,6 +239,20 @@ def test_tracknet_train_eval(tmp_path):
     # steps_per_epoch cap respected
     l2 = pipe.train(dl, steps_per_epoch=1)
     assert np.isfinite(l2)
+
+    # pad_last="wrap" eval (ONE compiled shape, train_tracknet.py default)
+    # must score every window exactly once: identical metrics to the plain
+    # ragged-tail loader, incl. the tail batch's loss-mean semantics
+    n = len(ds)
+    bs = 4 if n % 4 else 3  # force a partial tail batch
+    assert n % bs != 0
+    dl_plain = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=2)
+    dl_wrap = DataLoader(ds, batch_size=bs, shuffle=False, num_workers=2,
+                         pad_last="wrap")
+    m_plain = pipe.evaluate(dl_plain)
+    m_wrap = pipe.evaluate(dl_wrap)
+    for k in ("loss", "tp", "fp", "tn", "fn", "precision", "recall", "f1"):
+        np.testing.assert_allclose(m_wrap[k], m_plain[k], rtol=1e-6, err_msg=k)
 
 
 def test_tracknet_inference_image_dir(tmp_path, monkeypatch):

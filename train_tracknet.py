@@ -45,10 +45,11 @@ def run(args, config, config_path):
     train_dl = DataLoader(train_ds, args.batch_size, shuffle=bool(dl_cfg.get("shuffle", True)),
                           num_workers=int(dl_cfg.get("num_workers", 8) or 8), drop_last=True)
     # eval must score every window exactly once (reference torch DataLoader
-    # drop_last=False); the tail batch costs one extra compiled shape, reused
-    # every epoch
-    eval_dl = DataLoader(eval_ds, args.batch_size, shuffle=False,
-                         num_workers=int(dl_cfg.get("num_workers", 8) or 8), drop_last=False)
+    # drop_last=False); pad_last="wrap" keeps a SINGLE compiled eval shape
+    # (one 2-10 min tunnel compile instead of two) and evaluate() masks the
+    # wrapped tail rows so each window still scores exactly once
+    eval_dl = DataLoader(eval_ds, args.batch_size, shuffle=False, pad_last="wrap",
+                         num_workers=int(dl_cfg.get("num_workers", 8) or 8))
 
     mesh = make_mesh() if args.use_ddp else make_mesh(1)
     n_devices = mesh.devices.size

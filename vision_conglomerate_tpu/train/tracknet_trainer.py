@@ -160,7 +160,11 @@ class TrainTrackNetPipeline(BasePipeline):
             logits = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 frames, train=False)
-            loss = softmax_cross_entropy(logits, heatmaps.astype(jnp.int32)).mean()
+            # per-SAMPLE loss so the host can mask wrap-padded rows of a
+            # pad_last="wrap" eval tail batch (single compiled shape) while
+            # keeping the reference's tail-batch-mean semantics exactly
+            loss = softmax_cross_entropy(
+                logits, heatmaps.astype(jnp.int32)).mean(axis=(1, 2))
             pred_hm = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             cx, cy, r, found = decode_heatmap_peaks(pred_hm, threshold=self.heatmap_threshold)
             return loss, pred_hm, cx, cy, found
@@ -211,6 +215,14 @@ class TrainTrackNetPipeline(BasePipeline):
         fp = np.zeros(4)
         tn = np.zeros(4)
         fn = np.zeros(4)
+        # pad_last="wrap" loaders keep every batch jit-shape-stable (ONE
+        # compiled eval program); the wrapped duplicates at the tail are
+        # masked out here so every window is scored exactly once, matching
+        # the reference's drop_last=False semantics (incl. its tail-batch
+        # loss mean). Loaders without a dataset length fall back to scoring
+        # every row (no padding happens there).
+        n_total = len(getattr(dataloader, "dataset", ()) or ()) or None
+        seen = 0
         # host_indices: others never leaves the host (scored in numpy below);
         # frames/heatmaps ragged tails (drop_last=False) fall back to an
         # unsharded put inside prefetch_to_device on multi-device meshes
@@ -220,13 +232,19 @@ class TrainTrackNetPipeline(BasePipeline):
             others = np.asarray(others)  # consumed host-side below
             loss, pred_hm, cx, cy, found = self._eval_forward(
                 self.state, jnp.asarray(frames), jnp.asarray(heatmaps))
-            loss_sum += float(loss)
+            n_valid = others.shape[0]
+            if n_total is not None:
+                n_valid = min(n_valid, max(n_total - seen, 0))
+            seen += n_valid
+            if n_valid == 0:
+                continue
+            loss_sum += float(np.asarray(loss)[:n_valid].mean())
             count += 1
             if self.decode == "hough":
                 cx, cy, found = self._hough_decode(np.asarray(pred_hm))
             else:
                 cx, cy, found = np.asarray(cx), np.asarray(cy), np.asarray(found)
-            for i in range(others.shape[0]):
+            for i in range(n_valid):
                 visibility = int(others[i][0])
                 x_gt, y_gt = float(others[i][1]), float(others[i][2])
                 if found[i]:
