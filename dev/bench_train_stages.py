@@ -98,8 +98,13 @@ def main():
     lr = jnp.float32(1e-3)
 
     def _time_full(state, imgs, labels, mask):
-        # _train_step donates the state: re-chain it through every call
-        state, _ = pipe._train_step(state, lr, imgs, labels, mask)  # compile
+        # _train_step donates the state: re-chain it through every call.
+        # TWO warmup calls: the first traces step as a weak-typed python int,
+        # the second compiles the steady-state int32-step variant — timing
+        # after one warmup would put that second (multi-minute tunnel)
+        # compile inside the timed loop.
+        for _ in range(2):
+            state, _ = pipe._train_step(state, lr, imgs, labels, mask)
         jax.block_until_ready(state.params)
         t0 = time.perf_counter()
         for _ in range(ITERS):
