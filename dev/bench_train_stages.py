@@ -64,6 +64,9 @@ def _time(fn, *args):
 def main():
     cfg = dict(DET_CONFIG)
     cfg["dtype"] = "bfloat16"
+    if os.environ.get("VCT_REMAT"):  # A/B arm: stage-granular rematerialization
+        cfg["remat"] = True
+        print("[remat ON]")
     model = DetectionNet(num_classes=2, config=cfg, anchors=ANCHORS,
                          dtype=jnp.bfloat16)
     loss_cfg = DetectionLossConfig(num_classes=2)

@@ -199,6 +199,16 @@ class DetectionNet(nn.Module):
         head_spec = registry.resolve(registry.HEADS, cfg["head"])
         head_cfg = registry.component_config(cfg, cfg["head"])
 
+        # model_config.remat: stage-granular rematerialization for training
+        # (nn/blocks.maybe_remat) — checkpoint/variable-tree transparent, so
+        # it is a runtime knob, not an architecture choice. Ignored by
+        # components without a `remat` field.
+        if cfg.get("remat") and "remat" not in bb_cfg:
+            if "remat" in bb_spec.cls.__dataclass_fields__:
+                bb_cfg = {**bb_cfg, "remat": True}
+        if cfg.get("remat") and "remat" not in neck_cfg:
+            if "remat" in neck_spec.cls.__dataclass_fields__:
+                neck_cfg = {**neck_cfg, "remat": True}
         backbone = bb_spec.cls(**bb_cfg, dtype=self.dtype, name="backbone")
         if "deploy" in neck_spec.cls.__dataclass_fields__:
             neck = neck_spec.cls(**neck_cfg, deploy=self.deploy, dtype=self.dtype, name="neck")

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .. import registry
-from ..nn.blocks import ConvBNorm
+from ..nn.blocks import ConvBNorm, maybe_remat
 from ..ops.resize import resize_nhwc
 
 Dtype = Any
@@ -32,13 +32,15 @@ class BaseTrackNetEncoder(nn.Module):
     """
 
     width_multiple: float = 1.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
         co = [max(round(c * self.width_multiple), 1)
               for c in [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]]
-        conv = lambda c, name: ConvBNorm(  # noqa: E731
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        conv = lambda c, name: Conv(  # noqa: E731
             c, 3, 1, 1, activation="relu", dtype=self.dtype, name=name)
         pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))  # noqa: E731
 
@@ -68,13 +70,15 @@ class BaseTrackNetDecoder(nn.Module):
 
     out_channels: int = 256
     width_multiple: float = 1.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fmaps: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
         co = [max(round(c * self.width_multiple), 1)
               for c in [256, 256, 256, 126, 128, 64, 64]]
-        conv = lambda c, name: ConvBNorm(  # noqa: E731
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        conv = lambda c, name: Conv(  # noqa: E731
             c, 3, 1, 1, activation="relu", dtype=self.dtype, name=name)
 
         x = fmaps[3]
@@ -102,6 +106,7 @@ class AdvTrackNetEncoder(nn.Module):
     encoder_modules: Tuple[str, str]
     config: Dict[str, Any]
     deploy: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,6 +119,8 @@ class AdvTrackNetEncoder(nn.Module):
             kwargs = dict(cfg)
             if "deploy" in spec.cls.__dataclass_fields__:
                 kwargs["deploy"] = self.deploy
+            if self.remat and "remat" in spec.cls.__dataclass_fields__:
+                kwargs.setdefault("remat", True)
             mod = spec.cls(**kwargs, dtype=self.dtype, name=f"enc_module_p{i + 1}")
             out = mod(out, train)
         return out
@@ -126,6 +133,7 @@ class AdvTrackNetDecoder(nn.Module):
     decoder_modules: Tuple[str, str]
     config: Dict[str, Any]
     deploy: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,12 +143,16 @@ class AdvTrackNetDecoder(nn.Module):
         cfg1 = dict(registry.component_config(self.config, self.decoder_modules[0]))
         if "deploy" in spec1.cls.__dataclass_fields__:
             cfg1["deploy"] = self.deploy
+        if self.remat and "remat" in spec1.cls.__dataclass_fields__:
+            cfg1.setdefault("remat", True)
         out = spec1.cls(**cfg1, dtype=self.dtype, name="dec_module_p1")(fmaps, train)
 
         spec2 = registry.resolve(registry.TRACKNET_MODULES, self.decoder_modules[1])
         cfg2 = dict(registry.component_config(self.config, self.decoder_modules[1]))
         if "deploy" in spec2.cls.__dataclass_fields__:
             cfg2["deploy"] = self.deploy
+        if self.remat and "remat" in spec2.cls.__dataclass_fields__:
+            cfg2.setdefault("remat", True)
         out = spec2.cls(out_channels=self.out_channels, **cfg2,
                         dtype=self.dtype, name="dec_module_p2")(out, train)
         return out
@@ -168,24 +180,30 @@ class TrackNet(nn.Module):
         og_size: Optional[Tuple[int, int]] = None,
     ) -> jnp.ndarray:
         arch = self.config["architecture"]
+        remat = bool(self.config.get("remat", False))
         x = x.astype(self.dtype)
         if arch == "base":
             cfg = self.config["base_arch_config"]
+            enc_cfg = dict(cfg.get("encoder_config", {}) or {})
+            dec_cfg = dict(cfg.get("decoder_config", {}) or {})
+            if remat:
+                enc_cfg.setdefault("remat", True)
+                dec_cfg.setdefault("remat", True)
             fmaps = BaseTrackNetEncoder(
-                **dict(cfg.get("encoder_config", {}) or {}), dtype=self.dtype, name="encoder"
+                **enc_cfg, dtype=self.dtype, name="encoder"
             )(x, train)
             y = BaseTrackNetDecoder(
-                256, **dict(cfg.get("decoder_config", {}) or {}), dtype=self.dtype, name="decoder"
+                256, **dec_cfg, dtype=self.dtype, name="decoder"
             )(fmaps, train)
         elif arch == "advanced":
             cfg = self.config["advanced_arch_config"]
             fmaps = AdvTrackNetEncoder(
                 tuple(cfg["encoder_modules"]), cfg.get("encoder_config", {}) or {},
-                deploy=self.deploy, dtype=self.dtype, name="encoder",
+                deploy=self.deploy, remat=remat, dtype=self.dtype, name="encoder",
             )(x, train)
             y = AdvTrackNetDecoder(
                 256, tuple(cfg["decoder_modules"]), cfg.get("decoder_config", {}) or {},
-                deploy=self.deploy, dtype=self.dtype, name="decoder",
+                deploy=self.deploy, remat=remat, dtype=self.dtype, name="decoder",
             )(fmaps, train)
         else:
             raise ValueError(

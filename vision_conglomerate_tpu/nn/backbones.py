@@ -18,6 +18,7 @@ from .blocks import (
     ConvBNormUpsample,
     channels8,
     depth_round,
+    maybe_remat,
 )
 
 Dtype = Any
@@ -53,6 +54,7 @@ class CSPNet(nn.Module):
     depth_multiple: float = 0.3
     dropout: float = 0.0
     space_to_depth_stem: bool = False
+    remat: bool = False  # recompute stage interiors in backward (maybe_remat)
     dtype: Dtype = jnp.float32
 
     @property
@@ -66,23 +68,25 @@ class CSPNet(nn.Module):
         depths = [depth_round(d, self.depth_multiple) for d in [3, 6, 9, 3]]
         co = [channels8(c, self.width_multiple) for c in [32, 64, 128, 256, 256, 512, 512, 1024, 1024]]
         drop = nn.Dropout(self.dropout, deterministic=not train)
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        C3 = maybe_remat(C3Module, self.remat)
 
         if self.space_to_depth_stem:
-            out = ConvBNorm(co[0], kernel_size=3, stride=1, padding=1,
-                            dtype=self.dtype, name="conv0")(space_to_depth_nhwc(x), train)
+            out = Conv(co[0], kernel_size=3, stride=1, padding=1,
+                       dtype=self.dtype, name="conv0")(space_to_depth_nhwc(x), train)
         else:
-            out = ConvBNorm(co[0], kernel_size=6, stride=2, padding=2, dtype=self.dtype, name="conv0")(x, train)
-        out = ConvBNorm(co[1], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv1")(out, train)
+            out = Conv(co[0], kernel_size=6, stride=2, padding=2, dtype=self.dtype, name="conv0")(x, train)
+        out = Conv(co[1], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv1")(out, train)
         out = drop(out)
-        fmap1 = C3Module(co[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(out, train)
-        out = ConvBNorm(co[3], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv2")(fmap1, train)
+        fmap1 = C3(co[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(out, train)
+        out = Conv(co[3], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv2")(fmap1, train)
         out = drop(out)
-        fmap2 = C3Module(co[4], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(out, train)
-        out = ConvBNorm(co[5], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv3")(fmap2, train)
+        fmap2 = C3(co[4], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(out, train)
+        out = Conv(co[5], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv3")(fmap2, train)
         out = drop(out)
-        fmap3 = C3Module(co[6], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(out, train)
-        out = ConvBNorm(co[7], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv4")(fmap3, train)
-        fmap4 = C3Module(co[8], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(out, train)
+        fmap3 = C3(co[6], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(out, train)
+        out = Conv(co[7], kernel_size=3, stride=2, padding=1, dtype=self.dtype, name="conv4")(fmap3, train)
+        fmap4 = C3(co[8], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(out, train)
         return fmap1, fmap2, fmap3, fmap4
 
 
@@ -104,6 +108,7 @@ class DeconvCSPNet(nn.Module):
     width_multiple: float = 0.5
     depth_multiple: float = 0.3
     dropout: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,21 +117,23 @@ class DeconvCSPNet(nn.Module):
         depths = [depth_round(d, self.depth_multiple) for d in [3, 9, 6, 3]]
         co = [channels8(c, self.width_multiple) for c in [1024, 1024, 512, 512, 256, 256, 128, 64]]
         drop = nn.Dropout(self.dropout, deterministic=not train)
+        C3 = maybe_remat(C3Module, self.remat)
+        Up = maybe_remat(ConvBNormUpsample, self.remat)
 
-        out = C3Module(co[0], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(fmap1, train)
-        out = ConvBNormUpsample(co[1], scale=2, dtype=self.dtype, name="deconv0")(out, train)
+        out = C3(co[0], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(fmap1, train)
+        out = Up(co[1], scale=2, dtype=self.dtype, name="deconv0")(out, train)
         out = drop(out)
-        out = C3Module(co[2], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
+        out = C3(co[2], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
             jnp.concatenate([out, fmap2], axis=-1), train)
-        out = ConvBNormUpsample(co[3], scale=2, dtype=self.dtype, name="deconv1")(out, train)
+        out = Up(co[3], scale=2, dtype=self.dtype, name="deconv1")(out, train)
         out = drop(out)
-        out = C3Module(co[4], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
+        out = C3(co[4], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
             jnp.concatenate([out, fmap3], axis=-1), train)
-        out = ConvBNormUpsample(co[5], scale=2, dtype=self.dtype, name="deconv2")(out, train)
+        out = Up(co[5], scale=2, dtype=self.dtype, name="deconv2")(out, train)
         out = drop(out)
-        out = C3Module(co[6], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
+        out = C3(co[6], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
             jnp.concatenate([out, fmap4], axis=-1), train)
-        out = ConvBNormUpsample(co[7], scale=2, dtype=self.dtype, name="deconv3")(out, train)
+        out = Up(co[7], scale=2, dtype=self.dtype, name="deconv3")(out, train)
         out = ConvBNormUpsample(
             self.out_channels, scale=2, no_batchnorm=True, dtype=self.dtype, name="deconv4"
         )(out, train)

@@ -66,6 +66,20 @@ def fused_pointwise_active() -> bool:
     return _FUSED_POINTWISE.get()
 
 
+def maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...] = (2,)):
+    """Stage-granular rematerialization for the training backward pass.
+
+    Wraps a module class in nn.remat so its interior activations are
+    recomputed during backward instead of stored — trades ~1 extra forward
+    of FLOPs inside the wrapped stage for O(stage boundaries) activation
+    memory, raising the max train batch (the MFU lever: small batches
+    underfill the MXU). Transparent to the variable tree, outputs, grads
+    and batch_stats mutation (tests/test_remat.py). static_argnums indexes
+    the bound __call__ args with self at 0 — (2,) for `(self, x, train)`.
+    """
+    return nn.remat(cls, static_argnums=static_argnums) if enable else cls
+
+
 class _FusedPointwiseConv(nn.Module):
     """Param-compatible stand-in for nn.Conv(1x1) running the fused Pallas
     matmul+bias+activation kernel. Named 'conv' by the caller so the folded

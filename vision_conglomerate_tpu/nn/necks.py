@@ -24,6 +24,7 @@ from .blocks import (
     SPPFModule,
     channels8,
     depth_round,
+    maybe_remat,
 )
 
 Dtype = Any
@@ -41,10 +42,12 @@ def _pan_channel_outs(base8: Sequence[int], base10: Sequence[int],
     return outs
 
 
-def _bic(bic_with_conv: bool, out_channels, upsample_mode: str, dtype, name: str):
-    if bic_with_conv:
-        return BiCwithConvModule(out_channels, upsample_mode=upsample_mode, dtype=dtype, name=name)
-    return BiCwithNoConvModule(out_channels, upsample_mode=upsample_mode, dtype=dtype, name=name)
+def _bic(bic_with_conv: bool, out_channels, upsample_mode: str, dtype, name: str,
+         remat: bool = False):
+    cls = BiCwithConvModule if bic_with_conv else BiCwithNoConvModule
+    # BiC __call__ is (self, c1, c0, p2, train) -> train is bound arg 4
+    cls = maybe_remat(cls, remat, static_argnums=(4,))
+    return cls(out_channels, upsample_mode=upsample_mode, dtype=dtype, name=name)
 
 
 # ---------------------------------------------------------------- RepBiPAN
@@ -75,6 +78,7 @@ class RepBiPAN(nn.Module):
     # (fully fusable at deploy) — see blocks.RepVGGBlock docstring
     repvgg_branch_act: Optional[str] = "silu"
     deploy: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -82,22 +86,27 @@ class RepBiPAN(nn.Module):
         c2, c3, c4, c5 = fmaps
         depths = [depth_round(d, self.depth_multiple) for d in [1, 1, 1, 1]]
         ch = _pan_channel_outs(_REPBIPAN_BASE8, _REPBIPAN_BASE10, self.width_multiple, self.bic_with_conv)
-        rep = lambda co, n, name: RepBlock(  # noqa: E731
+        Rep = maybe_remat(RepBlock, self.remat)
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        Sppf = maybe_remat(CSPSPPFModule, self.remat)
+        rep = lambda co, n, name: Rep(  # noqa: E731
             co, n=n, branch_activation=self.repvgg_branch_act,
             deploy=self.deploy, dtype=self.dtype, name=name)
 
-        p5 = CSPSPPFModule(c5.shape[-1], pool_kernel_size=self.cspsppf_poolk,
-                           dtype=self.dtype, name="cspsppf0")(c5, train)
-        y0 = ConvBNorm(ch[0], kernel_size=1, dtype=self.dtype, name="conv0")(p5, train)
-        b0 = _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0")(c4, c3, y0, train)
+        p5 = Sppf(c5.shape[-1], pool_kernel_size=self.cspsppf_poolk,
+                  dtype=self.dtype, name="cspsppf0")(c5, train)
+        y0 = Conv(ch[0], kernel_size=1, dtype=self.dtype, name="conv0")(p5, train)
+        b0 = _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0",
+                  self.remat)(c4, c3, y0, train)
         p4 = rep(ch[2], depths[0], "repblock0")(b0, train)
-        y1 = ConvBNorm(ch[3], kernel_size=1, dtype=self.dtype, name="conv1")(p4, train)
-        b1 = _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1")(c3, c2, y1, train)
+        y1 = Conv(ch[3], kernel_size=1, dtype=self.dtype, name="conv1")(p4, train)
+        b1 = _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1",
+                  self.remat)(c3, c2, y1, train)
         p3 = rep(ch[5], depths[1], "repblock1")(b1, train)
         n3 = p3
-        d0 = ConvBNorm(ch[6], kernel_size=3, stride=2, dtype=self.dtype, name="conv2")(n3, train)
+        d0 = Conv(ch[6], kernel_size=3, stride=2, dtype=self.dtype, name="conv2")(n3, train)
         n4 = rep(ch[7], depths[2], "repblock2")(jnp.concatenate([d0, p4], axis=-1), train)
-        d1 = ConvBNorm(ch[8], kernel_size=3, stride=2, dtype=self.dtype, name="conv3")(n4, train)
+        d1 = Conv(ch[8], kernel_size=3, stride=2, dtype=self.dtype, name="conv3")(n4, train)
         n5 = rep(ch[9], depths[3], "repblock3")(jnp.concatenate([d1, p5], axis=-1), train)
         return c2, n3, n4, n5
 
@@ -128,6 +137,7 @@ class DeconvRepBiPAN(nn.Module):
     bic_with_conv: bool = False
     repvgg_branch_act: Optional[str] = "silu"
     deploy: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,22 +145,28 @@ class DeconvRepBiPAN(nn.Module):
         c2, n3, n4, n5 = fmaps
         depths = [depth_round(d, self.depth_multiple) for d in [1, 1, 1, 1]]
         ch = _pan_channel_outs(_DREPBIPAN_BASE8, _DREPBIPAN_BASE10, self.width_multiple, self.bic_with_conv)
-        rep = lambda co, n, name: RepBlock(  # noqa: E731
+        Rep = maybe_remat(RepBlock, self.remat)
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        Up = maybe_remat(ConvBNormUpsample, self.remat)
+        Sppf = maybe_remat(CSPSPPFModule, self.remat)
+        rep = lambda co, n, name: Rep(  # noqa: E731
             co, n=n, branch_activation=self.repvgg_branch_act,
             deploy=self.deploy, dtype=self.dtype, name=name)
 
         q2 = c2
-        d0 = ConvBNorm(ch[0], kernel_size=1, dtype=self.dtype, name="deconv0")(q2, train)
+        d0 = Conv(ch[0], kernel_size=1, dtype=self.dtype, name="deconv0")(q2, train)
         q3 = rep(ch[2], depths[0], "repblock0")(
-            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0")(n3, d0, n4, train), train)
-        d1 = ConvBNorm(ch[3], kernel_size=1, dtype=self.dtype, name="deconv1")(q3, train)
+            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0",
+                 self.remat)(n3, d0, n4, train), train)
+        d1 = Conv(ch[3], kernel_size=1, dtype=self.dtype, name="deconv1")(q3, train)
         q4 = rep(ch[5], depths[1], "repblock1")(
-            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1")(n4, d1, n5, train), train)
-        f4 = CSPSPPFModule(ch[5], pool_kernel_size=self.cspsppf_poolk,
-                           dtype=self.dtype, name="cspsppf")(q4, train)
-        u0 = ConvBNormUpsample(ch[6], scale=2, dtype=self.dtype, name="deconv2")(f4, train)
+            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1",
+                 self.remat)(n4, d1, n5, train), train)
+        f4 = Sppf(ch[5], pool_kernel_size=self.cspsppf_poolk,
+                  dtype=self.dtype, name="cspsppf")(q4, train)
+        u0 = Up(ch[6], scale=2, dtype=self.dtype, name="deconv2")(f4, train)
         f3 = rep(ch[7], depths[2], "repblock2")(jnp.concatenate([u0, q3], axis=-1), train)
-        u1 = ConvBNormUpsample(ch[8], scale=2, dtype=self.dtype, name="deconv3")(f3, train)
+        u1 = Up(ch[8], scale=2, dtype=self.dtype, name="deconv3")(f3, train)
         f2 = rep(ch[9], depths[3], "repblock3")(jnp.concatenate([u1, q2], axis=-1), train)
         return n5, f4, f3, f2
 
@@ -176,6 +192,7 @@ class BiPAN(nn.Module):
     sppf_poolk: int = 5
     upsample_mode: str = "nearest"
     bic_with_conv: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,20 +200,25 @@ class BiPAN(nn.Module):
         f1, f2_, f3_, f4_ = fmaps
         depths = [depth_round(d, self.depth_multiple) for d in [3, 6, 9, 3]]
         ch = _pan_channel_outs(_BIPAN_BASE8, _BIPAN_BASE10, self.width_multiple, self.bic_with_conv)
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        C3 = maybe_remat(C3Module, self.remat)
+        Sppf = maybe_remat(SPPFModule, self.remat)
 
-        y0 = ConvBNorm(ch[0], kernel_size=1, dtype=self.dtype, name="conv0")(
-            SPPFModule(f4_.shape[-1], pool_kernel_size=self.sppf_poolk,
-                       dtype=self.dtype, name="sppf0")(f4_, train), train)
-        c2 = C3Module(ch[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(
-            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0")(f3_, f2_, y0, train), train)
-        y2 = ConvBNorm(ch[3], kernel_size=1, dtype=self.dtype, name="conv1")(c2, train)
-        y3 = C3Module(ch[5], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
-            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1")(f2_, f1, y2, train), train)
-        y4 = ConvBNorm(ch[6], kernel_size=3, stride=2, dtype=self.dtype, name="conv2")(y3, train)
-        y5 = C3Module(ch[7], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
+        y0 = Conv(ch[0], kernel_size=1, dtype=self.dtype, name="conv0")(
+            Sppf(f4_.shape[-1], pool_kernel_size=self.sppf_poolk,
+                 dtype=self.dtype, name="sppf0")(f4_, train), train)
+        c2 = C3(ch[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(
+            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0",
+                 self.remat)(f3_, f2_, y0, train), train)
+        y2 = Conv(ch[3], kernel_size=1, dtype=self.dtype, name="conv1")(c2, train)
+        y3 = C3(ch[5], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
+            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1",
+                 self.remat)(f2_, f1, y2, train), train)
+        y4 = Conv(ch[6], kernel_size=3, stride=2, dtype=self.dtype, name="conv2")(y3, train)
+        y5 = C3(ch[7], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
             jnp.concatenate([y4, y2], axis=-1), train)
-        y6 = ConvBNorm(ch[8], kernel_size=3, stride=2, dtype=self.dtype, name="conv3")(y5, train)
-        y7 = C3Module(ch[9], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
+        y6 = Conv(ch[8], kernel_size=3, stride=2, dtype=self.dtype, name="conv3")(y5, train)
+        y7 = C3(ch[9], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
             jnp.concatenate([y6, y0], axis=-1), train)
         return f1, y3, y5, y7
 
@@ -222,6 +244,7 @@ class DeconvBiPAN(nn.Module):
     sppf_poolk: int = 5
     upsample_mode: str = "nearest"
     bic_with_conv: bool = False
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -229,19 +252,25 @@ class DeconvBiPAN(nn.Module):
         fmap1, y3, y5, y7 = fmaps
         depths = [depth_round(d, self.depth_multiple) for d in [3, 6, 9, 3]]
         ch = _pan_channel_outs(_DBIPAN_BASE8, _DBIPAN_BASE10, self.width_multiple, self.bic_with_conv)
+        Conv = maybe_remat(ConvBNorm, self.remat)
+        C3 = maybe_remat(C3Module, self.remat)
+        Up = maybe_remat(ConvBNormUpsample, self.remat)
+        Sppf = maybe_remat(SPPFModule, self.remat)
 
-        f0 = ConvBNorm(ch[0], kernel_size=1, dtype=self.dtype, name="deconv0")(fmap1, train)
-        f1 = C3Module(ch[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(
-            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0")(y3, f0, y5, train), train)
-        f2 = ConvBNorm(ch[3], kernel_size=1, dtype=self.dtype, name="deconv1")(f1, train)
-        f3 = C3Module(ch[5], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
-            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1")(y5, f2, y7, train), train)
-        f4 = ConvBNormUpsample(ch[6], scale=2, dtype=self.dtype, name="deconv2")(
-            SPPFModule(f3.shape[-1], pool_kernel_size=self.sppf_poolk,
-                       dtype=self.dtype, name="sppf")(f3, train), train)
-        f5 = C3Module(ch[7], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
+        f0 = Conv(ch[0], kernel_size=1, dtype=self.dtype, name="deconv0")(fmap1, train)
+        f1 = C3(ch[2], num_bottlenecks=depths[0], dtype=self.dtype, name="c3_0")(
+            _bic(self.bic_with_conv, ch[1], self.upsample_mode, self.dtype, "bic0",
+                 self.remat)(y3, f0, y5, train), train)
+        f2 = Conv(ch[3], kernel_size=1, dtype=self.dtype, name="deconv1")(f1, train)
+        f3 = C3(ch[5], num_bottlenecks=depths[1], dtype=self.dtype, name="c3_1")(
+            _bic(self.bic_with_conv, ch[4], self.upsample_mode, self.dtype, "bic1",
+                 self.remat)(y5, f2, y7, train), train)
+        f4 = Up(ch[6], scale=2, dtype=self.dtype, name="deconv2")(
+            Sppf(f3.shape[-1], pool_kernel_size=self.sppf_poolk,
+                 dtype=self.dtype, name="sppf")(f3, train), train)
+        f5 = C3(ch[7], num_bottlenecks=depths[2], dtype=self.dtype, name="c3_2")(
             jnp.concatenate([f4, f2], axis=-1), train)
-        f6 = ConvBNormUpsample(ch[8], scale=2, dtype=self.dtype, name="deconv3")(f5, train)
-        f7 = C3Module(ch[9], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
+        f6 = Up(ch[8], scale=2, dtype=self.dtype, name="deconv3")(f5, train)
+        f7 = C3(ch[9], num_bottlenecks=depths[3], dtype=self.dtype, name="c3_3")(
             jnp.concatenate([f6, f0], axis=-1), train)
         return y7, f3, f5, f7
