@@ -137,24 +137,52 @@ def _prefetch_batches(gen, depth: int = 2):
         return
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     SENTINEL = object()
+    stop = threading.Event()  # consumer-gone flag: unblocks a full-queue put
+
+    def _put(item) -> bool:
+        # bounded-timeout put so the worker can't block forever on a consumer
+        # that stopped iterating (early error/break in the serve loop would
+        # otherwise leak the thread + its queued device batches + the open
+        # input generator)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for imgs, ogs in gen:
-                q.put((imgs, jax.device_put(imgs), ogs))
+            try:
+                for imgs, ogs in gen:
+                    if not _put((imgs, jax.device_put(imgs), ogs)):
+                        return
+            finally:
+                close = getattr(gen, "close", None)
+                if close is not None:
+                    close()  # release video capture / file handles promptly
         except BaseException as e:  # surface decode errors in the consumer
-            q.put((SENTINEL, e, None))
+            _put((SENTINEL, e, None))
             return
-        q.put((SENTINEL, None, None))
+        _put((SENTINEL, None, None))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        imgs, dev, ogs = q.get()
-        if imgs is SENTINEL:
-            if dev is not None:
-                raise dev
-            return
-        yield imgs, dev, ogs
+    try:
+        while True:
+            imgs, dev, ogs = q.get()
+            if imgs is SENTINEL:
+                if dev is not None:
+                    raise dev
+                return
+            yield imgs, dev, ogs
+    finally:
+        stop.set()
+        try:  # drop queued items so pinned device buffers free promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def quantize_model_int8(model, variables, calib_imgs, **apply_kwargs):

@@ -60,11 +60,23 @@ def scale_loss(
     label_mask: jnp.ndarray,  # (B, M)
     anchors: jnp.ndarray,     # (A, 2) normalized 0-1
     cfg: DetectionLossConfig,
+    image_mask: Optional[jnp.ndarray] = None,  # (B,) row validity; None = all
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
-    """Single-scale loss (reference loss_fn, detection_loss.py:125-226)."""
+    """Single-scale loss (reference loss_fn, detection_loss.py:125-226).
+
+    `image_mask` marks valid batch rows so wrap-padded eval tail batches
+    (DataLoader pad_last="wrap", kept jit-shape-stable) score each sample
+    exactly once, matching the reference's drop_last=False ragged-tail batch
+    mean. Masked rows contribute no assigned candidates (their label_mask is
+    zeroed) and are excluded from the full-grid conf BCE mean. None (the
+    train path) keeps the exact unmasked computation.
+    """
     b, ny, nx, na, _ = preds.shape
     c = cfg.num_classes
     binfn = make_binary_lossfn(cfg.alpha, cfg.gamma)
+    if image_mask is not None:
+        imw = image_mask.astype(jnp.float32)  # (B,)
+        label_mask = label_mask * imw[:, None].astype(label_mask.dtype)
 
     asn = assign_targets_to_scale(
         labels, label_mask, (ny, nx), anchors,
@@ -112,10 +124,20 @@ def scale_loss(
         .set(ciou_d, mode="drop")[:b]
     )
     p_conf = preds[..., 0].astype(jnp.float32)
-    conf_loss = binfn(p_conf, t_conf).mean()
+    conf_elem = binfn(p_conf, t_conf)
+    if image_mask is None:
+        conf_loss = conf_elem.mean()
+        neg_mask = t_conf == 0
+    else:
+        # full-grid BCE over valid rows only (masked rows have no positives
+        # — their label_mask was zeroed above — so this is exactly the
+        # reference's tail-batch mean over its real rows)
+        row_w = imw[:, None, None, None]
+        conf_loss = (conf_elem * row_w).sum() / jnp.maximum(
+            imw.sum() * ny * nx * na, 1.0)
+        neg_mask = (t_conf == 0) & (row_w > 0)
     pos_conf = jax.nn.sigmoid(match[:, 0])
     avg_pos_conf = masked_mean(pos_conf, valid, default=jnp.nan)
-    neg_mask = t_conf == 0
     avg_neg_conf = masked_mean(jax.nn.sigmoid(p_conf), neg_mask, default=jnp.nan)
 
     # ---- class loss with label smoothing over matched rows
@@ -178,10 +200,12 @@ def detection_loss(
     label_mask: jnp.ndarray,
     anchors: Sequence[jnp.ndarray],  # (sm, md, lg) each (A, 2), 0-1
     cfg: DetectionLossConfig,
+    image_mask: Optional[jnp.ndarray] = None,  # (B,) see scale_loss
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Aggregate 3-scale loss (reference forward, detection_loss.py:84-122)."""
     per_scale = [
-        scale_loss(p, labels, label_mask, jax.lax.stop_gradient(a), cfg)
+        scale_loss(p, labels, label_mask, jax.lax.stop_gradient(a), cfg,
+                   image_mask=image_mask)
         for p, a in zip(preds, anchors)
     ]
     sw = cfg.scale_w
@@ -193,7 +217,8 @@ def detection_loss(
     if "keypoints" in per_scale[0][0]:
         loss = loss + cfg.keypoints_w * agg("keypoints")
     if cfg.batch_scale_loss:
-        loss = loss * preds[-1].shape[0]
+        loss = loss * (preds[-1].shape[0] if image_mask is None
+                       else image_mask.astype(jnp.float32).sum())
 
     metrics: Dict[str, jnp.ndarray] = {"aggregate_loss": loss}
     keys = per_scale[0][1].keys()

@@ -96,12 +96,17 @@ def seg_scale_loss(
     anchors: jnp.ndarray,
     cfg: SegmentationLossConfig,
     rng=None,
+    image_mask=None,  # (B,) row validity for wrap-padded eval tails; None = all
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     b, ny, nx, na, _ = preds.shape
     c = cfg.num_classes
     k = protos.shape[-1]
     cap = cfg.seg_candidates_per_image
     hp, wp = protos.shape[1], protos.shape[2]
+    if image_mask is not None:
+        # masked rows get no assigned candidates (per-image seg terms then
+        # zero out via has_img) and drop out of the /batch-size denominators
+        label_mask = label_mask * image_mask[:, None].astype(label_mask.dtype)
 
     # resize target masks (nearest) to proto res if needed (reference …:157-158)
     if cfg.overlap_masks:
@@ -137,6 +142,13 @@ def seg_scale_loss(
          txywh_img, reshape_img(asn.label_slot)],
         valid_img, priority, cap,
     )
+    # sanitize invalid selected slots BEFORE any nonlinear math: when an image
+    # has fewer matched candidates than the cap, top_k gathers +inf-padded
+    # label rows (data/detection.py pads with np.inf) whose t_xywh would feed
+    # inf - inf = NaN into crop_section — the masked-NaN-gradient trap
+    # (CLAUDE.md invariant; same guard as scale_loss's safe_t)
+    c_txywh = jnp.where(c_valid[..., None], c_txywh,
+                        jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32))
     # candidates silently lost to the fixed cap (crowded images): surfaced as
     # a metric so cap pressure is visible instead of silent (VERDICT r1 #6)
     dropped = jnp.maximum(
@@ -159,9 +171,13 @@ def seg_scale_loss(
     if cfg.crop_mode == "reference":
         crop_boxes = c_txywh
     else:
-        # true box in proto-pixel space from the source label slot
+        # true box in proto-pixel space from the source label slot; invalid
+        # slots gather inf-padded label rows — sanitize before the crop math
         lab = jnp.take_along_axis(labels, c_slot[:, :, None], axis=1)  # (B,S,5+)
-        crop_boxes = lab[..., 1:5] * jnp.asarray([wp, hp, wp, hp], jnp.float32)
+        crop_boxes = jnp.where(
+            c_valid[..., None],
+            lab[..., 1:5] * jnp.asarray([wp, hp, wp, hp], jnp.float32),
+            jnp.asarray([0.5, 0.5, 1.0, 1.0], jnp.float32))
 
     flat = lambda t: t.reshape((b * cap,) + t.shape[2:])  # noqa: E731
     cropped = crop_section(flat(elem), flat(crop_boxes)).reshape(elem.shape)
@@ -186,11 +202,18 @@ def seg_scale_loss(
     sl_img = mean_img((1.0 - crop_mean) * dice_loss_img[:, None])
     ds_img = jax.lax.stop_gradient(mean_img(dice_rnd_n))
 
-    seg = sl_img.sum() / b
-    dice_score = ds_img.sum() / b
+    # per-image results averaged over the (valid) batch size (reference
+    # …:172-173; masked wrap-padded rows leave the denominator too)
+    denom = (jnp.float32(b) if image_mask is None
+             else jnp.maximum(image_mask.astype(jnp.float32).sum(), 1.0))
+    seg = sl_img.sum() / denom
+    dice_score = ds_img.sum() / denom
 
     # detection components (box/conf/cls/kp + metrics) on the same preds
-    det_losses, det_metrics = scale_loss(preds, labels, label_mask, anchors, cfg)
+    # (label_mask already row-masked above; image_mask also gates the
+    # full-grid conf mean inside scale_loss)
+    det_losses, det_metrics = scale_loss(preds, labels, label_mask, anchors, cfg,
+                                         image_mask=image_mask)
     det_losses = dict(det_losses)
     det_losses["seg"] = _nan_to_zero(seg)
     det_metrics = dict(det_metrics)
@@ -209,13 +232,15 @@ def segmentation_loss(
     anchors: Sequence[jnp.ndarray],
     cfg: SegmentationLossConfig,
     rng=None,
+    image_mask=None,  # (B,) see seg_scale_loss
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Aggregate 3-scale segmentation loss (reference forward,
     segmentation_loss.py:26-73)."""
     per_scale = [
         seg_scale_loss(p, labels, label_mask, protos, target_masks,
                        jax.lax.stop_gradient(a), cfg,
-                       rng=None if rng is None else jax.random.fold_in(rng, i))
+                       rng=None if rng is None else jax.random.fold_in(rng, i),
+                       image_mask=image_mask)
         for i, (p, a) in enumerate(zip(preds, anchors))
     ]
     sw = cfg.scale_w
@@ -230,7 +255,8 @@ def segmentation_loss(
     if "keypoints" in per_scale[0][0]:
         loss = loss + cfg.keypoints_w * agg("keypoints")
     if cfg.batch_scale_loss:
-        loss = loss * preds[-1].shape[0]
+        loss = loss * (preds[-1].shape[0] if image_mask is None
+                       else image_mask.astype(jnp.float32).sum())
 
     metrics: Dict[str, jnp.ndarray] = {"aggregate_loss": loss}
     for key in per_scale[0][1].keys():

@@ -120,7 +120,8 @@ class TrainDetectionPipeline(BasePipeline):
     def _anchors_of(self, params):
         return (params["sm_anchors"], params["md_anchors"], params["lg_anchors"])
 
-    def _loss_of(self, params, batch_stats, batch, train: bool, rng):
+    def _loss_of(self, params, batch_stats, batch, train: bool, rng,
+                 image_mask=None):
         imgs, labels, mask = batch
         if imgs.dtype == jnp.uint8:  # device-side /255 (H2D ships uint8)
             imgs = imgs.astype(jnp.float32) / 255.0
@@ -142,13 +143,14 @@ class TrainDetectionPipeline(BasePipeline):
                 {"params": params, "batch_stats": batch_stats}, imgs, train=False)
             new_bs = batch_stats
         loss, metrics = detection_loss(
-            out, labels, mask, self._anchors_of(params), self.loss_cfg)
+            out, labels, mask, self._anchors_of(params), self.loss_cfg,
+            image_mask=image_mask)
         return loss, (metrics, new_bs)
 
     def _build_step(self, train: bool):
-        def per_shard(state: TrainState, lr, *batch):
-            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
-            if train:
+        if train:
+            def per_shard(state: TrainState, lr, *batch):
+                rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
                 (loss, (metrics, new_bs)), grads = jax.value_and_grad(
                     lambda p: self._loss_of(p, state.batch_stats, batch, True, rng),
                     has_aux=True,
@@ -159,22 +161,47 @@ class TrainDetectionPipeline(BasePipeline):
                 opt_state = set_learning_rate(state.opt_state, lr)
                 updates, opt_state = self.tx.update(grads, opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
-                new_state = TrainState(params, new_bs, opt_state, state.step + 1)
-            else:
-                _, (metrics, _) = self._loss_of(
-                    state.params, state.batch_stats, batch, False, rng)
-                metrics = jax.lax.pmean(metrics, DP_AXIS)
-                new_state = state
-            return new_state, metrics
+                return TrainState(params, new_bs, opt_state, state.step + 1), metrics
 
-        def wrapper(state, lr, *batch):
-            fn = shard_map(
-                per_shard, mesh=self.mesh,
-                in_specs=(P(), P()) + tuple(P(DP_AXIS) for _ in batch),
-                out_specs=(P(), P()),
-                check_vma=False,
-            )
-            return fn(state, lr, *batch)
+            def wrapper(state, lr, *batch):
+                fn = shard_map(
+                    per_shard, mesh=self.mesh,
+                    in_specs=(P(), P()) + tuple(P(DP_AXIS) for _ in batch),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+                return fn(state, lr, *batch)
+        else:
+            # eval takes a per-row validity mask: wrap-padded tail-batch
+            # duplicates (pad_last="wrap" keeps ONE compiled shape) are
+            # excluded from the metrics, so best-model selection and
+            # ReduceLROnPlateau see the reference's drop_last=False
+            # semantics. Cross-shard combination weights each shard's
+            # per-shard means by its valid-row count (exact for row-level
+            # metrics; identical to pmean when no padding), so a fully
+            # padded shard of the tail batch contributes nothing.
+            def per_shard(state: TrainState, lr, image_mask, *batch):
+                rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+                _, (metrics, _) = self._loss_of(
+                    state.params, state.batch_stats, batch, False, rng,
+                    image_mask=image_mask)
+                w = image_mask.astype(jnp.float32).sum()
+
+                def _wavg(m):
+                    contrib = jnp.where(w > 0, m, jnp.zeros_like(m)) * w
+                    return (jax.lax.psum(contrib, DP_AXIS)
+                            / jnp.maximum(jax.lax.psum(w, DP_AXIS), 1e-9))
+
+                return state, jax.tree_util.tree_map(_wavg, metrics)
+
+            def wrapper(state, lr, image_mask, *batch):
+                fn = shard_map(
+                    per_shard, mesh=self.mesh,
+                    in_specs=(P(), P(), P(DP_AXIS)) + tuple(P(DP_AXIS) for _ in batch),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+                return fn(state, lr, image_mask, *batch)
 
         return jax.jit(wrapper, donate_argnums=(0,))
 
@@ -216,13 +243,31 @@ class TrainDetectionPipeline(BasePipeline):
         # tunnel transfer overlaps the previous step's compute — the CLI
         # hot path is input-bound in this environment (docs/PERF.md).
         it = self._prefetch(dataloader)
+        # eval only: mask wrap-padded duplicate rows of the pad_last="wrap"
+        # tail batch (the loader appends wrapped indices at the END of the
+        # order, so valid rows are always the leading n_valid). Loaders
+        # without a dataset length score every row (no padding happens there).
+        n_total = None
+        if mode == "eval":
+            n_total = len(getattr(dataloader, "dataset", ()) or ()) or None
+        seen = 0
         pbar = tqdm.tqdm(it, total=len(dataloader), disable=not verbose)
         for batch in pbar:
             batch = self._device_batch(batch)
-            self.state, metrics = step_fn(self.state, lr, *batch)
+            bsz = int(batch[0].shape[0])
+            if mode == "train":
+                self.state, metrics = step_fn(self.state, lr, *batch)
+            else:
+                n_valid = bsz if n_total is None else min(bsz, max(n_total - seen, 0))
+                seen += n_valid
+                if n_valid == 0:
+                    continue
+                image_mask = jnp.asarray(
+                    np.arange(bsz, dtype=np.int32) < n_valid, jnp.float32)
+                self.state, metrics = step_fn(self.state, lr, image_mask, *batch)
             metrics_sum = metrics if metrics_sum is None else self._metrics_add(
                 metrics_sum, metrics)
-            timer.tick(batch[0].shape[0])
+            timer.tick(bsz)
             count += 1
         # single host sync per epoch; it also makes the wall-clock honest
         # (dispatch-only timing would under-count the device work).

@@ -352,6 +352,11 @@ def make_lr_scheduler(config: Optional[Dict[str, Any]], base_lr: float) -> Optio
         raise KeyError(f"Unknown lr scheduler {name!r}; available: {sorted(SCHEDULERS)}")
     # torch CyclicLR configs carry their own mandatory base_lr kwarg (the
     # cycle floor, overriding the optimizer lr — torch does the same); pop it
-    # here so it doesn't collide with the positional base_lr
-    base_lr = float(cfg.pop("base_lr", base_lr))
+    # ONLY for CyclicLR so it doesn't collide with the positional base_lr.
+    # For every other scheduler a config-level base_lr falls through to the
+    # constructor and raises TypeError, exactly like torch's reflection path —
+    # silently overriding the (device-scaled) optimizer lr would de-scale a
+    # DDP run with no error.
+    if name == "CyclicLR":
+        base_lr = float(cfg.pop("base_lr", base_lr))
     return SCHEDULERS[name](base_lr, **cfg)

@@ -16,7 +16,8 @@ from .detection_trainer import TrainDetectionPipeline
 class TrainSegmentationPipeline(TrainDetectionPipeline):
     task = "segmentation"
 
-    def _loss_of(self, params, batch_stats, batch, train: bool, rng):
+    def _loss_of(self, params, batch_stats, batch, train: bool, rng,
+                 image_mask=None):
         imgs, labels, mask, target_masks = batch
         if imgs.dtype == jax.numpy.uint8:  # device-side /255
             imgs = imgs.astype(jax.numpy.float32) / 255.0
@@ -34,5 +35,6 @@ class TrainSegmentationPipeline(TrainDetectionPipeline):
         loss, metrics = segmentation_loss(
             preds, labels, mask, protos, target_masks,
             self._anchors_of(params), self.loss_cfg,
-            rng=jax.random.fold_in(rng, 7))  # cap_policy="random" rotation
+            rng=jax.random.fold_in(rng, 7),  # cap_policy="random" rotation
+            image_mask=image_mask)
         return loss, (metrics, new_bs)
