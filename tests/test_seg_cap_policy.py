@@ -61,6 +61,17 @@ def test_random_policy_rotates_with_rng():
     assert seen == {0, 1, 2, 3, 4, 5}
 
 
+def test_default_policy_is_random():
+    """A config omitting cap_policy must get the measured-best policy
+    (BASELINE.md sweep: random >> area > first under cap pressure), matching
+    the shipped YAML — not silently fall back to the worst one (VERDICT r3
+    weak #5)."""
+    assert SegmentationLossConfig(num_classes=2).cap_policy == "random"
+    # The train_seg.py path: loss_config kwargs from YAML, key absent.
+    cfg = SegmentationLossConfig(num_classes=2, **{})
+    assert cfg.cap_policy == "random"
+
+
 def test_random_policy_requires_rng():
     valid, t_xywh, _ = _setup()
     cfg = SegmentationLossConfig(num_classes=2, cap_policy="random")

@@ -36,6 +36,23 @@ def test_ratio_metrics_parity(ref_make_anchors):
     assert (s, bpr, aat) == pytest.approx((ref_s, ref_bpr, ref_aat), rel=1e-5)
 
 
+def test_evolution_returns_best_mutant_not_seed():
+    """Pins OUR deviation from the reference (ARCHITECTURE.md §9): the
+    reference's mutation loop stores the *unmutated* kmeans seed as best
+    (`best_solution = solution`, /root/reference/utils/make_anchors.py:88),
+    so its returned anchors never improve past kmeans. Ours returns the best
+    mutated candidate — the evolved score must be >= the seed's score, and
+    for this seed strictly better (the evolution actually does something)."""
+    rng = np.random.default_rng(3)
+    wh = rng.uniform(0.02, 0.5, size=(300, 2)).astype(np.float64)
+    _, seed_score, _, _ = cluster_anchors_w_mutation(
+        wh, num_anchors=9, num_generations=0, kmeans_iter=10, verbose=False)
+    _, evo_score, _, _ = cluster_anchors_w_mutation(
+        wh, num_anchors=9, num_generations=200, kmeans_iter=10, verbose=False)
+    assert evo_score >= seed_score
+    assert evo_score > seed_score + 1e-6  # evolution is not a no-op here
+
+
 def test_cluster_anchors_improves_fit():
     rng = np.random.default_rng(1)
     # two clusters of box sizes

@@ -51,7 +51,11 @@ class SegmentationLossConfig(DetectionLossConfig):
     overlap_masks: bool = True
     seg_candidates_per_image: int = 32
     crop_mode: str = "reference"  # "reference" | "corrected"
-    cap_policy: str = "first"     # "first" | "area" | "random" (see module doc)
+    # "first" | "area" | "random" (see module doc). Default = "random": the
+    # measured-best policy under cap pressure (BASELINE.md cap-policy sweep:
+    # dice 0.160 vs first's 0.036 at cap 4) and what the shipped YAML sets;
+    # a config omitting the key must not silently fall back to the worst one.
+    cap_policy: str = "random"
 
 
 def _select_top_candidates(values, valid: jnp.ndarray, priority: jnp.ndarray,

@@ -11,6 +11,15 @@ Semantics preserved:
 - BPR (best possible recall) and AAT (anchors above threshold) extras;
 - whitened k-means seed, then `num_generations` of random multiplicative
   mutation (keep the best), mut_proba/sigma as configured;
+
+DELIBERATE DEVIATION (documented, ARCHITECTURE.md §9): the reference's
+evolution loop can never return an improved solution — its best-tracking
+stores the *unmutated* kmeans seed (`best_solution = solution`,
+/root/reference/utils/make_anchors.py:88), so the "genetic evolution" is a
+no-op for the returned anchors. We return the best *mutated* candidate
+(tests/test_tools.py pins this), so anchors.yaml outputs will differ from
+the reference's on the same data (ours fit at least as well by the
+reference's own fitness metric). Further preserved semantics:
 - predefined anchors kept when score >= score_tol and bpr >= bpr_tol;
 - winners written back into anchors.yaml when update_anchors_cfg.
 """
