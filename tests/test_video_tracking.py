@@ -1,0 +1,314 @@
+"""Detection/segmentation VIDEO inference + ByteTrack e2e (VERDICT r3 #1).
+
+The reference's flagship demo loop (/root/reference/inference_det.py:168-252,
+288-294) is the video branch: InferenceVideoDataset -> jitted forward ->
+NMS -> ByteTrack -> track-id drawing -> VideoWriter -> per-frame CSV. These
+tests execute that whole branch on CPU with models *overfit-trained in the
+test* on a synthetic moving-shapes clip, so the assertions are about real
+tracking behavior, not just artifact existence:
+
+- video.mp4 written with the expected frame count;
+- output.csv rows carry track ids, and each persistent object keeps ONE
+  dominant track id across (nearly) all frames — ByteTrack association is
+  actually working on model detections;
+- --tracked_classes filters classes and --frame_skips strides frames
+  (reference inference_det.py:203-207, inference_dataset.py:62-96);
+- the segmentation variant additionally exercises mask assembly + crop_masks
+  and int8 PTQ over video.
+
+Scene: a red square (class 0) slides left->right along y=20 while a green
+disk (class 1) slides right->left along y=44 — disjoint lanes, so a stable
+tracker should never switch ids.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+cv2 = pytest.importorskip("cv2")
+
+SIZE = 64
+SQ = 16      # class-0 square side
+R = 7        # class-1 disk radius
+N_FRAMES = 16  # batch 8 -> exactly two same-shape batches (one compile)
+
+TINY_DET = {
+    "train_anchors": True,
+    "backbone": "CSPBackBone", "neck": "RepBiPAN", "head": "EffiDecHead",
+    "cspbackbone_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+    "repbipan_config": {"width_multiple": 0.25, "depth_multiple": 0.2},
+    "effidechead_config": {"width_multiple": 0.5},
+}
+ANCHORS = {
+    "sm": [[0.1, 0.1], [0.15, 0.15], [0.2, 0.2]],
+    "md": [[0.25, 0.25], [0.3, 0.3], [0.35, 0.35]],
+    "lg": [[0.4, 0.4], [0.5, 0.5], [0.6, 0.6]],
+}
+
+
+def _frame_at(t):
+    """Moving-shapes frame + labels [(cls, cx, cy, w, h) normalized]."""
+    img = np.full((SIZE, SIZE, 3), 30, np.uint8)
+    cx0, cy0 = 12 + 2 * t, 20
+    img[cy0 - SQ // 2: cy0 + SQ // 2, cx0 - SQ // 2: cx0 + SQ // 2] = (220, 40, 40)
+    cx1, cy1 = 52 - 2 * t, 44
+    yy, xx = np.mgrid[:SIZE, :SIZE]
+    img[(yy - cy1) ** 2 + (xx - cx1) ** 2 <= R * R] = (40, 220, 40)
+    labels = [(0, cx0 / SIZE, cy0 / SIZE, SQ / SIZE, SQ / SIZE),
+              (1, cx1 / SIZE, cy1 / SIZE, 2 * R / SIZE, 2 * R / SIZE)]
+    return img, labels
+
+
+def _write_clip(path, n_frames=N_FRAMES):
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (SIZE, SIZE))
+    for t in range(n_frames):
+        img, _ = _frame_at(t)
+        w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    w.release()
+
+
+def _write_det_trainset(root):
+    os.makedirs(root, exist_ok=True)
+    for i, t in enumerate([0, 2, 4, 6, 8, 10, 12, 15]):
+        img, labels = _frame_at(t)
+        Image.fromarray(img).save(os.path.join(root, f"img_{i}.png"))
+        with open(os.path.join(root, f"img_{i}.txt"), "w") as f:
+            for c, x, y, w, h in labels:
+                f.write(f"{c} {x} {y} {w} {h}\n")
+
+
+def _square_polygon(cx, cy, side):
+    h = side / 2 / SIZE
+    x, y = cx / SIZE, cy / SIZE
+    return [(x - h, y - h), (x + h, y - h), (x + h, y + h), (x - h, y + h)]
+
+
+def _disk_polygon(cx, cy, r, n=12):
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return [((cx + r * np.cos(a)) / SIZE, (cy + r * np.sin(a)) / SIZE) for a in th]
+
+
+def _write_seg_trainset(root):
+    os.makedirs(root, exist_ok=True)
+    for i, t in enumerate([0, 2, 4, 6, 8, 10, 12, 15]):
+        img, _ = _frame_at(t)
+        Image.fromarray(img).save(os.path.join(root, f"img_{i}.png"))
+        cx0, cx1 = 12 + 2 * t, 52 - 2 * t
+        with open(os.path.join(root, f"img_{i}.txt"), "w") as f:
+            for cls, poly in ((0, _square_polygon(cx0, 20, SQ)),
+                              (1, _disk_polygon(cx1, 44, R))):
+                pts = " ".join(f"{x:.4f} {y:.4f}" for x, y in poly)
+                f.write(f"{cls} {pts}\n")
+
+
+@pytest.fixture(scope="module")
+def det_ckpt(tmp_path_factory):
+    """Overfit the tiny DetectionNet on the moving-shapes frames until its
+    detections clear ByteTrack's activation threshold (0.35)."""
+    from vision_conglomerate_tpu.data import DataLoader, DetectionDataset
+    from vision_conglomerate_tpu.losses import DetectionLossConfig
+    from vision_conglomerate_tpu.models import DetectionNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainDetectionPipeline, make_optimizer
+
+    base = tmp_path_factory.mktemp("det_video")
+    root = str(base / "train")
+    _write_det_trainset(root)
+    ds = DetectionDataset(root, img_ext="png", img_wh=(SIZE, SIZE), max_labels=8)
+    dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    model = DetectionNet(num_classes=2, config=TINY_DET, anchors=ANCHORS)
+    tx, _ = make_optimizer({"name": "Adam", "lr": 2e-3})
+    pipe = TrainDetectionPipeline(
+        model, DetectionLossConfig(num_classes=2), tx,
+        mesh=make_mesh(1), sample_input_shape=(SIZE, SIZE, 3))
+    for _ in range(200):  # ~0.3 s/epoch after the one-time compile
+        m = pipe.train(dl)
+    assert m["avg_pos_conf"] > 0.5, "overfit failed; tracking test needs confident dets"
+    pipe.best_model_dir = str(base / "best")
+    pipe.save_best_model()
+    clip = str(base / "clip.mp4")
+    _write_clip(clip)
+    config = {"model_config": TINY_DET,
+              "train_config": {"img_config": {"img_wh": [SIZE, SIZE], "img_ext": "png"}}}
+    return {"weights": str(base / "best" / "DetectionNet.ckpt.tar"),
+            "clip": clip, "config": config}
+
+
+def _dominant_track_coverage(df, cls):
+    """Fraction of this class's frames covered by its most-frequent track id."""
+    sub = df[df["class"] == cls]
+    if not len(sub):
+        return 0.0, 0
+    per_id = sub.groupby("track_id")["frame"].nunique()
+    return per_id.max() / sub["frame"].nunique(), sub["frame"].nunique()
+
+
+def test_det_video_tracking_e2e(det_ckpt, tmp_path, monkeypatch):
+    """Full video branch: forward -> NMS -> ByteTrack -> VideoWriter -> CSV.
+    Asserts real track-id stability, not just artifact existence."""
+    import pandas as pd
+
+    from vision_conglomerate_tpu.infer.runner import run_detection_inference
+
+    monkeypatch.chdir(tmp_path)
+    storage = run_detection_inference(
+        path=det_ckpt["clip"], weights_path=det_ckpt["weights"],
+        config=det_ckpt["config"], task="detection", batch_size=8,
+        iou_threshold=0.35, score_threshold=0.25, with_summary=True,
+        box_allowance=0, max_detections=16,
+        storage_path=str(tmp_path / "out"))
+
+    vid = os.path.join(storage, "video.mp4")
+    assert os.path.exists(vid)
+    cap = cv2.VideoCapture(vid)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == N_FRAMES
+    cap.release()
+
+    df = pd.read_csv(os.path.join(storage, "output.csv"))
+    assert {"frame", "track_id", "confidence", "class", "X", "Y", "W", "H"} <= set(df.columns)
+    # each persistent object keeps one dominant id across (nearly) all frames
+    for cls in (0, 1):
+        cov, n_frames = _dominant_track_coverage(df, cls)
+        assert n_frames >= N_FRAMES - 2, f"class {cls} detected in too few frames"
+        assert cov >= 0.85, f"class {cls}: dominant track covers only {cov:.0%}"
+    # the two objects ride different track ids
+    id0 = df[df["class"] == 0].groupby("track_id")["frame"].nunique().idxmax()
+    id1 = df[df["class"] == 1].groupby("track_id")["frame"].nunique().idxmax()
+    assert id0 != id1
+    # tracked boxes actually move with the object (class 0 slides rightward)
+    first = df[(df["class"] == 0) & (df["track_id"] == id0)].sort_values("frame")
+    assert first["X"].iloc[-1] > first["X"].iloc[0] + 10
+
+
+def test_det_video_tracked_classes_and_frame_skips(det_ckpt, tmp_path, monkeypatch):
+    """--tracked_classes filters to the listed ids; --frame_skips strides the
+    clip (16 frames, skip 1 -> 8 processed), via the inference_det.py CLI glue
+    (reference inference_det.py:203-207, 319-331)."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import argparse
+
+    import inference_det
+
+    monkeypatch.chdir(tmp_path)
+    import yaml
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(det_ckpt["config"], f)
+    args = argparse.Namespace(
+        path=det_ckpt["clip"], weights_path=det_ckpt["weights"], batch_size=8,
+        iou_threshold=0.35, score_threshold=0.25, fps=10, with_summary=True,
+        tracked_classes="0", frame_skips=1, box_allowance=0,
+        save_og_size=True, no_reparam=False, quantize="none")
+    inference_det.run(args, cfg_path, task="detection")
+
+    import glob
+    outs = glob.glob(os.path.join("outputs", "detection", "*"))
+    assert len(outs) == 1
+    vid = os.path.join(outs[0], "video.mp4")
+    assert os.path.exists(vid)
+    cap = cv2.VideoCapture(vid)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == N_FRAMES // 2
+    cap.release()
+    df = pd.read_csv(os.path.join(outs[0], "output.csv"))
+    assert set(df["class"].unique()) == {0}, "tracked_classes must drop class 1"
+    assert df["frame"].max() <= N_FRAMES // 2 - 1
+    # still one dominant id for the kept class even at stride 2
+    cov, n_frames = _dominant_track_coverage(df, 0)
+    assert n_frames >= N_FRAMES // 2 - 1 and cov >= 0.8
+
+
+@pytest.fixture(scope="module")
+def seg_ckpt(tmp_path_factory):
+    from vision_conglomerate_tpu.data import DataLoader, SegmentationDataset
+    from vision_conglomerate_tpu.losses import SegmentationLossConfig
+    from vision_conglomerate_tpu.models import SegmentationNet
+    from vision_conglomerate_tpu.parallel import make_mesh
+    from vision_conglomerate_tpu.train import TrainSegmentationPipeline, make_optimizer
+
+    base = tmp_path_factory.mktemp("seg_video")
+    root = str(base / "train")
+    _write_seg_trainset(root)
+    cfg = dict(TINY_DET)
+    cfg["num_masks"] = 8
+    cfg["protos_config"] = {"c_h": 32}
+    ds = SegmentationDataset(root, img_ext="png", img_wh=(SIZE, SIZE),
+                             max_labels=8, overlap_masks=True,
+                             mask_store_wh=(SIZE // 4, SIZE // 4))
+    dl = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    model = SegmentationNet(num_classes=2, config=cfg, anchors=ANCHORS)
+    tx, _ = make_optimizer({"name": "Adam", "lr": 2e-3})
+    pipe = TrainSegmentationPipeline(
+        model, SegmentationLossConfig(num_classes=2, seg_candidates_per_image=8),
+        tx, mesh=make_mesh(1), sample_input_shape=(SIZE, SIZE, 3))
+    for _ in range(200):
+        m = pipe.train(dl)
+    assert m["avg_pos_conf"] > 0.5, "seg overfit failed"
+    pipe.best_model_dir = str(base / "best")
+    pipe.save_best_model()
+    clip = str(base / "clip.mp4")
+    _write_clip(clip)
+    config = {"model_config": cfg,
+              "train_config": {"img_config": {"img_wh": [SIZE, SIZE], "img_ext": "png"}}}
+    return {"weights": str(base / "best" / "SegmentationNet.ckpt.tar"),
+            "clip": clip, "config": config}
+
+
+def test_seg_video_tracking_e2e(seg_ckpt, tmp_path, monkeypatch):
+    """Segmentation over video: mask assembly + crop_masks + ByteTrack +
+    VideoWriter + CSV (reference inference_seg.py shares the det loop)."""
+    import pandas as pd
+
+    from vision_conglomerate_tpu.infer.runner import run_detection_inference
+
+    monkeypatch.chdir(tmp_path)
+    storage = run_detection_inference(
+        path=seg_ckpt["clip"], weights_path=seg_ckpt["weights"],
+        config=seg_ckpt["config"], task="segmentation", batch_size=8,
+        iou_threshold=0.35, score_threshold=0.25, with_summary=True,
+        box_allowance=0, max_detections=16, crop_masks=True,
+        storage_path=str(tmp_path / "out"))
+
+    vid = os.path.join(storage, "video.mp4")
+    assert os.path.exists(vid)
+    cap = cv2.VideoCapture(vid)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == N_FRAMES
+    # mask overlays actually land on the frame: the first frame must differ
+    # from the raw input beyond the box outline (segments blend color regions)
+    ok, drawn0 = cap.read()
+    cap.release()
+    assert ok
+    raw0, _ = _frame_at(0)
+    diff = (cv2.cvtColor(drawn0, cv2.COLOR_BGR2RGB).astype(int) - raw0.astype(int))
+    assert (np.abs(diff) > 40).mean() > 0.01
+
+    df = pd.read_csv(os.path.join(storage, "output.csv"))
+    for cls in (0, 1):
+        cov, n_frames = _dominant_track_coverage(df, cls)
+        assert n_frames >= N_FRAMES - 3, f"class {cls} detected in too few frames"
+        assert cov >= 0.8, f"class {cls}: dominant track covers only {cov:.0%}"
+
+
+def test_seg_video_int8_ptq(seg_ckpt, tmp_path, monkeypatch):
+    """--quantize int8 over the video path: first-batch PTQ then int8 serving
+    through mask assembly + tracking (VERDICT r3 item #9)."""
+    import pandas as pd
+
+    from vision_conglomerate_tpu.infer.runner import run_detection_inference
+
+    monkeypatch.chdir(tmp_path)
+    storage = run_detection_inference(
+        path=seg_ckpt["clip"], weights_path=seg_ckpt["weights"],
+        config=seg_ckpt["config"], task="segmentation", batch_size=8,
+        iou_threshold=0.35, score_threshold=0.25, with_summary=True,
+        box_allowance=0, max_detections=16, crop_masks=True, quantize="int8",
+        storage_path=str(tmp_path / "out_int8"))
+    assert os.path.exists(os.path.join(storage, "video.mp4"))
+    df = pd.read_csv(os.path.join(storage, "output.csv"))
+    # int8 still tracks the persistent objects
+    cov, n_frames = _dominant_track_coverage(df, 0)
+    assert n_frames >= N_FRAMES - 4 and cov >= 0.7
