@@ -14,12 +14,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from vision_conglomerate_tpu.tools.bytetrack import ByteTrack, Detections  # noqa: E402
 
-FIXTURE = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
-                       "bytetrack_golden.json")
+FIXDIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+FIXTURES = [os.path.join(FIXDIR, name) for name in
+            ("bytetrack_golden.json", "bytetrack_golden_mcf3.json")]
 
 
-def main():
-    with open(FIXTURE) as f:
+def regen(fixture):
+    with open(fixture) as f:
         data = json.load(f)
     tracker = ByteTrack(**data["config"])
     expected = []
@@ -36,10 +37,16 @@ def main():
         })
     old = data["expected"]
     n_diff = sum(1 for a, b in zip(old, expected) if a != b)
+    n_diff += abs(len(old) - len(expected))
     data["expected"] = expected
-    with open(FIXTURE, "w") as f:
+    with open(fixture, "w") as f:
         json.dump(data, f, indent=1)
-    print(f"rewrote {FIXTURE}: {n_diff}/{len(expected)} frames changed")
+    print(f"rewrote {fixture}: {n_diff}/{len(expected)} frames changed")
+
+
+def main():
+    for fixture in FIXTURES:
+        regen(fixture)
 
 
 if __name__ == "__main__":

@@ -92,3 +92,16 @@ def test_tracknet_advanced_remat_transparent():
     x = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 9))
     _check_pair(TrackNet(config=cfg),
                 TrackNet(config={**cfg, "remat": True}), x, {})
+
+
+def test_resolve_remat_default_batch_knee():
+    """Train CLIs auto-enable remat at batch >= 32 (measured knee,
+    docs/PERF.md); explicit YAML true/false wins; the decision is recorded
+    in the config dict so saved config copies carry it."""
+    from vision_conglomerate_tpu.train import resolve_remat_default
+
+    assert resolve_remat_default({}, 16)["remat"] is False
+    assert resolve_remat_default({}, 32)["remat"] is True
+    assert resolve_remat_default({"remat": None}, 128)["remat"] is True
+    assert resolve_remat_default({"remat": False}, 128)["remat"] is False
+    assert resolve_remat_default({"remat": True}, 4)["remat"] is True

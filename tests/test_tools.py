@@ -139,7 +139,15 @@ def test_bytetrack_survives_missed_frame():
     assert len(out) == 1 and int(out.tracker_id[0]) == id0
 
 
-def test_bytetrack_golden_fixture():
+@pytest.mark.parametrize("fixture_name", [
+    "bytetrack_golden.json",        # reference config (min_consecutive=1)
+    "bytetrack_golden_mcf3.json",   # minimum_consecutive_frames=3 tentative
+    # bookkeeping (AUDIT §5's flagged-unverified path, VERDICT r3 item #8):
+    # pins id-counter consumption at tentative birth, one-miss tentative
+    # removal (new id on reappear), activation on the 3rd consecutive hit,
+    # and activated tracks surviving misses via the lost buffer (same id)
+])
+def test_bytetrack_golden_fixture(fixture_name):
     """Regression lock: the vendored 40-frame synthetic scene (crossing pair,
     vanish/return, low-score ghosts) must reproduce the exact per-frame track
     ids in tests/fixtures/bytetrack_golden.json.
@@ -154,8 +162,7 @@ def test_bytetrack_golden_fixture():
     import json
     import os
 
-    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
-                           "bytetrack_golden.json")
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", fixture_name)
     with open(fixture) as f:
         data = json.load(f)
     tracker = ByteTrack(**data["config"])
@@ -182,6 +189,44 @@ def test_bytetrack_minimum_consecutive_frames():
     assert len(tracker.update_with_detections(mk(12))) == 0
     out = tracker.update_with_detections(mk(14))
     assert len(out) == 1  # confirmed on the 3rd consecutive hit
+
+
+def test_bytetrack_tentative_bookkeeping_mcf3():
+    """Pins OUR documented minimum_consecutive_frames>1 semantics in explicit
+    form (AUDIT §5; the golden mcf3 fixture locks the same behavior as a
+    frame-by-frame trace):
+    - a tentative track consumes the id counter at BIRTH, not activation;
+    - a tentative track is removed on its FIRST missed frame (reappearance
+      births a new id);
+    - an ACTIVATED track that misses frames goes LOST and keeps its id
+      within the lost buffer.
+    The reference always passes 1 (/root/reference/inference_det.py:293), so
+    this path has no reference parity target — these assertions are the
+    exact diff surface for a future supervision source-check."""
+    tracker = ByteTrack(track_activation_threshold=0.3, lost_track_buffer=30,
+                        minimum_consecutive_frames=3)
+    mk = lambda *xs: Detections(  # noqa: E731
+        xyxy=np.asarray([[x, 10, x + 20, 30] for x in xs], np.float32).reshape(-1, 4),
+        confidence=np.full(len(xs), 0.9, np.float32),
+        class_id=np.zeros(len(xs), int))
+
+    # A continuous at 10; B at 200 hits frames 0-1 then misses frame 2
+    assert len(tracker.update_with_detections(mk(10, 200))) == 0
+    assert len(tracker.update_with_detections(mk(10, 200))) == 0
+    out = tracker.update_with_detections(mk(10))  # A's 3rd hit; B missed
+    assert [int(i) for i in out.tracker_id] == [1]  # A was born first -> id 1
+    # B reappears: its tentative was removed on the miss -> NEW id (3, since
+    # the removed tentative consumed id 2)
+    tracker.update_with_detections(mk(10, 200))
+    tracker.update_with_detections(mk(10, 200))
+    out = tracker.update_with_detections(mk(10, 200))
+    got = {int(i) for i in out.tracker_id}
+    assert got == {1, 3}, got
+    # A (activated) misses 2 frames -> LOST, id kept on reappearance
+    tracker.update_with_detections(mk(200))
+    tracker.update_with_detections(mk(200))
+    out = tracker.update_with_detections(mk(10, 200))
+    assert {int(i) for i in out.tracker_id} == {1, 3}
 
 
 def test_bytetrack_lost_buffer_expiry():

@@ -79,6 +79,8 @@ def run(args, config, config_path, anchors_path):
     mesh = make_mesh() if args.use_ddp else make_mesh(1)
     n_devices = mesh.devices.size
 
+    from vision_conglomerate_tpu.train import resolve_remat_default
+    resolve_remat_default(config["model_config"], args.batch_size)
     dtype = jnp.bfloat16 if config["model_config"].get("dtype") == "bfloat16" else jnp.float32
     model = SegmentationNet(
         num_classes=num_classes,

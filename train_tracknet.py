@@ -54,6 +54,8 @@ def run(args, config, config_path):
     mesh = make_mesh() if args.use_ddp else make_mesh(1)
     n_devices = mesh.devices.size
 
+    from vision_conglomerate_tpu.train import resolve_remat_default
+    resolve_remat_default(config["model_config"], args.batch_size)
     dtype = jnp.bfloat16 if config["model_config"].get("dtype") == "bfloat16" else jnp.float32
     num_stacks = int(img_cfg.get("num_stacks", 3))
     model = TrackNet(config=config["model_config"], dtype=dtype)
