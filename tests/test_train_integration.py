@@ -126,3 +126,77 @@ def test_checkpoint_roundtrip(tmp_path):
     l1 = pipe.evaluate(_OneBatchLoader(batch))["aggregate_loss"]
     l2 = pipe2.evaluate(_OneBatchLoader(batch))["aggregate_loss"]
     assert l1 == pytest.approx(l2, rel=1e-5)
+
+
+class _RaggedEvalLoader:
+    """Mimics DataLoader pad_last="wrap": yields one batch whose trailing
+    rows are wrap-padded duplicates; .dataset carries the true length."""
+
+    def __init__(self, batch, n_real):
+        self.batch = batch
+        self.dataset = list(range(n_real))
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        yield self.batch
+
+
+def _ragged_inputs(rng, n_real=6, b=8, m=4, size=64):
+    """n_real distinct images with IDENTICAL label structure (equal
+    per-image candidate counts, so candidate-level metric weighting is exact
+    — see _combine_metrics docstring), wrap-padded to b rows."""
+    imgs, labels, mask = _batch(rng, b=n_real, m=m, size=size)
+    pad = [i % n_real for i in range(b - n_real)]
+    imgs_p = np.concatenate([imgs, imgs[pad]], axis=0)
+    labels_p = np.concatenate([labels, labels[pad]], axis=0)
+    mask_p = np.concatenate([mask, mask[pad]], axis=0)
+    return (imgs, labels, mask), (imgs_p, labels_p, mask_p), n_real
+
+
+@pytest.mark.parametrize("batch_scale", [False, True])
+def test_eval_wrap_padding_masked_matches_ragged(batch_scale):
+    """ADVICE r3: the wrap-tail masking feature (label_mask zeroing, masked
+    conf-BCE denominator, per-shard weighting) vs ground truth — a padded
+    batch with a partial image_mask must score exactly like the unpadded
+    ragged batch, on a 1-device mesh AND on the 8-device mesh where the
+    padded rows land on entirely-padded shards."""
+    from vision_conglomerate_tpu.losses import DetectionLossConfig
+    from vision_conglomerate_tpu.train import make_optimizer
+
+    rng = np.random.default_rng(3)
+    ragged, padded, n_real = _ragged_inputs(rng)
+
+    def mk(mesh):
+        model = DetectionNet(num_classes=2, config=TINY_CONFIG, anchors=ANCHORS)
+        tx, _ = make_optimizer({"name": "Adam", "lr": 1e-3})
+        return TrainDetectionPipeline(
+            model, DetectionLossConfig(num_classes=2, batch_scale_loss=batch_scale),
+            tx, mesh=mesh, sample_input_shape=(64, 64, 3), seed=7)
+
+    keys = ("aggregate_loss", "conf_loss", "class_loss", "mean_ciou",
+            "avg_pos_conf", "avg_neg_conf", "f1", "accuracy")
+
+    m_ref = mk(make_mesh(1)).evaluate(_RaggedEvalLoader(ragged, n_real))
+    m_pad1 = mk(make_mesh(1)).evaluate(_RaggedEvalLoader(padded, n_real))
+    for k in keys:
+        assert m_pad1[k] == pytest.approx(m_ref[k], rel=1e-4, abs=1e-6), k
+
+    # 8-device mesh: 8 rows -> 1 per shard; shards 6,7 are fully padded and
+    # must contribute nothing
+    m_pad8 = mk(make_mesh(8)).evaluate(_RaggedEvalLoader(padded, n_real))
+    for k in keys:
+        assert m_pad8[k] == pytest.approx(m_ref[k], rel=2e-4, abs=1e-6), k
+
+
+def test_eval_loader_contract_violation_raises():
+    """A loader advertising more dataset rows than it yields would have had
+    real rows silently masked — the trainer must fail loudly (ADVICE r3)."""
+    rng = np.random.default_rng(4)
+    batch = _batch(rng, b=4)
+    pipe = _make_pipeline(make_mesh(1))
+    loader = _RaggedEvalLoader(batch, n_real=4)
+    loader.dataset = list(range(9))  # claims 9 rows, yields 4
+    with pytest.raises(RuntimeError, match="yielded 4 rows"):
+        pipe.evaluate(loader)

@@ -167,7 +167,8 @@ def _prefetch_batches(gen, depth: int = 2):
             return
         _put((SENTINEL, None, None))
 
-    threading.Thread(target=worker, daemon=True).start()
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
     try:
         while True:
             imgs, dev, ogs = q.get()
@@ -178,7 +179,20 @@ def _prefetch_batches(gen, depth: int = 2):
             yield imgs, dev, ogs
     finally:
         stop.set()
-        try:  # drop queued items so pinned device buffers free promptly
+        # drain until the worker exits: a q.put already inside its 0.1 s
+        # timeout window when stop was set can still enqueue one item, so a
+        # single drain pass could leave a device-buffer-holding batch queued
+        # until GC (ADVICE r3) — drain/join in a short loop instead.
+        while True:
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=0.2)
+            if not thread.is_alive():
+                break
+        try:  # final sweep after the worker exited
             while True:
                 q.get_nowait()
         except queue.Empty:

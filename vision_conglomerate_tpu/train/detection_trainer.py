@@ -147,6 +147,41 @@ class TrainDetectionPipeline(BasePipeline):
             image_mask=image_mask)
         return loss, (metrics, new_bs)
 
+    # Metrics that are per-batch SUMS, not means: cross-shard combine is
+    # psum (a weighted average would silently rescale them — ADVICE r3).
+    _SUM_METRICS = ("seg_dropped_candidates",)
+
+    def _combine_metrics(self, metrics, weight=None):
+        """Cross-shard metric combine. `weight=None` (train): pmean, the DDP
+        AVG semantics. Otherwise (eval) each shard's per-shard means are
+        weighted by its valid-row count so wrap-padded shards contribute
+        nothing. NOTE: candidate-level means (mean_ciou, class_loss, …) are
+        per-scale nanmeans inside the loss, so ANY cross-shard weighting is
+        an approximation there; row-count weighting is exact for row-level
+        metrics and only skews candidate-level ones on the ragged tail batch.
+        Sum-type metrics combine by psum in both modes, and the
+        batch_scale_loss aggregate (already scaled by the shard's valid count
+        inside the loss) must not be weighted a second time."""
+        def _sum(m, w):
+            contrib = m if w is None else jnp.where(w > 0, m, jnp.zeros_like(m))
+            return jax.lax.psum(contrib, DP_AXIS)
+
+        def _avg(m, w):
+            if w is None:
+                return jax.lax.pmean(m, DP_AXIS)
+            contrib = jnp.where(w > 0, m, jnp.zeros_like(m)) * w
+            return (jax.lax.psum(contrib, DP_AXIS)
+                    / jnp.maximum(jax.lax.psum(w, DP_AXIS), 1e-9))
+
+        out = {}
+        for k, m in metrics.items():
+            if k in self._SUM_METRICS or (
+                    k == "aggregate_loss" and self.loss_cfg.batch_scale_loss):
+                out[k] = _sum(m, weight)
+            else:
+                out[k] = _avg(m, weight)
+        return out
+
     def _build_step(self, train: bool):
         if train:
             def per_shard(state: TrainState, lr, *batch):
@@ -157,7 +192,7 @@ class TrainDetectionPipeline(BasePipeline):
                 )(state.params)
                 grads = jax.lax.pmean(grads, DP_AXIS)
                 new_bs = jax.lax.pmean(new_bs, DP_AXIS)
-                metrics = jax.lax.pmean(metrics, DP_AXIS)
+                metrics = self._combine_metrics(metrics)
                 opt_state = set_learning_rate(state.opt_state, lr)
                 updates, opt_state = self.tx.update(grads, opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
@@ -186,13 +221,7 @@ class TrainDetectionPipeline(BasePipeline):
                     state.params, state.batch_stats, batch, False, rng,
                     image_mask=image_mask)
                 w = image_mask.astype(jnp.float32).sum()
-
-                def _wavg(m):
-                    contrib = jnp.where(w > 0, m, jnp.zeros_like(m)) * w
-                    return (jax.lax.psum(contrib, DP_AXIS)
-                            / jnp.maximum(jax.lax.psum(w, DP_AXIS), 1e-9))
-
-                return state, jax.tree_util.tree_map(_wavg, metrics)
+                return state, self._combine_metrics(metrics, weight=w)
 
             def wrapper(state, lr, image_mask, *batch):
                 fn = shard_map(
@@ -267,8 +296,24 @@ class TrainDetectionPipeline(BasePipeline):
                 self.state, metrics = step_fn(self.state, lr, image_mask, *batch)
             metrics_sum = metrics if metrics_sum is None else self._metrics_add(
                 metrics_sum, metrics)
-            timer.tick(bsz)
+            # eval throughput counts only real rows (wrap-padded duplicates
+            # of the tail batch run through the device but aren't "images
+            # evaluated" — ADVICE r3)
+            timer.tick(bsz if mode == "train" else n_valid)
             count += 1
+        # The masking above assumes the loader contract the in-repo
+        # DataLoader guarantees: batches in order, padding only as TRAILING
+        # rows of the FINAL batch (wrap indices are appended after shuffle).
+        # A loader that yields fewer real rows than its dataset length would
+        # have had later real rows silently masked — fail loudly instead of
+        # corrupting eval metrics (ADVICE r3).
+        if mode == "eval" and n_total is not None and seen != n_total:
+            raise RuntimeError(
+                f"eval loader yielded {seen} rows but len(dataset) == {n_total}; "
+                "the wrap-padding row masking requires in-order batches with "
+                "padding only at the tail (see DataLoader pad_last='wrap'). "
+                "Use a loader that satisfies this contract or drop .dataset "
+                "from it to disable masking.")
         # single host sync per epoch; it also makes the wall-clock honest
         # (dispatch-only timing would under-count the device work).
         metrics_sum = jax.device_get(metrics_sum) if metrics_sum is not None else {}
