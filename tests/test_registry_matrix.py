@@ -52,6 +52,15 @@ DETECTION_ALTERNATES = {
         "repbipan_config": dict(_W),
         "basichead_config": {"width_multiple": 0.5},
     },
+    # TPU architecture knob: early convs widened toward MXU lane depth
+    # (docs/PERF.md lever #2; beyond-reference, accuracy-gated)
+    "early_min_channels=64": {
+        "train_anchors": True,
+        "backbone": "CSPBackBone", "neck": "RepBiPAN", "head": "EffiDecHead",
+        "cspbackbone_config": {**_W, "early_min_channels": 64},
+        "repbipan_config": dict(_W),
+        "effidechead_config": {"width_multiple": 0.5},
+    },
     # backbone: ResNetBackBone (reference backbone.py:14-49)
     "backbone=ResNetBackBone": {
         "train_anchors": True,

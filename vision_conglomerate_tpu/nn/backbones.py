@@ -24,9 +24,27 @@ from .blocks import (
 Dtype = Any
 
 
-def cspnet_out_channels(width_multiple: float = 0.5) -> Tuple[int, int, int, int]:
-    """Static out_fmaps_channels of CSPNet (reference common.py:441-443)."""
+def _cspnet_channels(width_multiple: float,
+                     early_min_channels: Optional[int] = None) -> list:
+    """Per-layer channel plan (reference rule common.py:426). With
+    `early_min_channels`, the three early layers (stem + stride-2 conv +
+    stride-4 C3) are clamped UP to at least that many channels — a TPU
+    architecture knob (docs/PERF.md lever #2): at width 0.5 those layers run
+    16/32/64 channels at 320²/160² resolution, using 9-18% of the 128-deep
+    MXU; widening toward lane depth trades FLOPs for utilization.
+    Accuracy-gated — it changes capacity, so it is OFF by default and the
+    YAML key (cspbackbone_config.early_min_channels) opts in per run."""
     co = [channels8(x, width_multiple) for x in [32, 64, 128, 256, 256, 512, 512, 1024, 1024]]
+    if early_min_channels:
+        for i in range(3):
+            co[i] = max(co[i], int(early_min_channels))
+    return co
+
+
+def cspnet_out_channels(width_multiple: float = 0.5,
+                        early_min_channels: Optional[int] = None) -> Tuple[int, int, int, int]:
+    """Static out_fmaps_channels of CSPNet (reference common.py:441-443)."""
+    co = _cspnet_channels(width_multiple, early_min_channels)
     return (co[2], co[4], co[6], co[8])
 
 
@@ -54,19 +72,20 @@ class CSPNet(nn.Module):
     depth_multiple: float = 0.3
     dropout: float = 0.0
     space_to_depth_stem: bool = False
+    early_min_channels: Optional[int] = None  # see _cspnet_channels
     remat: bool = False  # recompute stage interiors in backward (maybe_remat)
     dtype: Dtype = jnp.float32
 
     @property
     def out_fmaps_channels(self) -> Tuple[int, int, int, int]:
-        return cspnet_out_channels(self.width_multiple)
+        return cspnet_out_channels(self.width_multiple, self.early_min_channels)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         if x.shape[1] % 32 != 0 or x.shape[2] % 32 != 0:
             raise ValueError("input must have width and height divisible by 32")
         depths = [depth_round(d, self.depth_multiple) for d in [3, 6, 9, 3]]
-        co = [channels8(c, self.width_multiple) for c in [32, 64, 128, 256, 256, 512, 512, 1024, 1024]]
+        co = _cspnet_channels(self.width_multiple, self.early_min_channels)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         Conv = maybe_remat(ConvBNorm, self.remat)
         C3 = maybe_remat(C3Module, self.remat)

@@ -25,11 +25,13 @@ class ComponentSpec(NamedTuple):
 BACKBONES: Dict[str, ComponentSpec] = {
     "CSPBackBone": ComponentSpec(
         backbones.CSPBackBone,
-        lambda **cfg: backbones.cspnet_out_channels(cfg.get("width_multiple", 0.5)),
+        lambda **cfg: backbones.cspnet_out_channels(
+            cfg.get("width_multiple", 0.5), cfg.get("early_min_channels")),
     ),
     "CSPNet": ComponentSpec(
         backbones.CSPNet,
-        lambda **cfg: backbones.cspnet_out_channels(cfg.get("width_multiple", 0.5)),
+        lambda **cfg: backbones.cspnet_out_channels(
+            cfg.get("width_multiple", 0.5), cfg.get("early_min_channels")),
     ),
     "ResNetBackBone": ComponentSpec(
         backbones.ResNetBackBone,
