@@ -127,6 +127,18 @@ def test_checkpoint_roundtrip(tmp_path):
     l2 = pipe2.evaluate(_OneBatchLoader(batch))["aggregate_loss"]
     assert l1 == pytest.approx(l2, rel=1e-5)
 
+    # a directory resolves to the newest snapshot under it (resume QoL:
+    # --checkpoint_path saved_model/<task>/checkpoints works as-is)
+    pipe3 = _make_pipeline(make_mesh(1))
+    pipe3.load_checkpoint(str(tmp_path / "ckpts"))
+    assert pipe3.last_epoch == pipe.last_epoch
+    from vision_conglomerate_tpu.train.checkpoint import resolve_checkpoint_path
+    assert resolve_checkpoint_path(str(tmp_path / "ckpts")) == ckpts[0]
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_path(str(empty))
+
 
 class _RaggedEvalLoader:
     """Mimics DataLoader pad_last="wrap": yields one batch whose trailing

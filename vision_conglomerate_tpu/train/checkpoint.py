@@ -36,9 +36,27 @@ def save_checkpoint(path: str, manifest: Dict[str, Any]):
     os.replace(tmp, path)
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Accept either a .ckpt.tar file or a directory. For a directory,
+    resolve to the newest *.ckpt.tar under it (recursing one level into the
+    run-timestamp subdirs of saved_model/<task>/checkpoints/), so
+    `--checkpoint_path saved_model/detection/checkpoints` resumes from the
+    latest snapshot without spelling out the datetime-stamped filename."""
+    if not os.path.isdir(path):
+        return path
+    cands = []
+    for root, _dirs, files in os.walk(path):
+        cands += [os.path.join(root, f) for f in files if f.endswith(".ckpt.tar")]
+    if not cands:
+        raise FileNotFoundError(
+            f"Checkpoint path {path} is a directory with no *.ckpt.tar under it")
+    return max(cands, key=os.path.getmtime)
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     if not os.path.exists(path):
         raise FileNotFoundError(f"Checkpoint path {path} does not exist")
+    path = resolve_checkpoint_path(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
