@@ -84,8 +84,13 @@ def _candidate_priority(cfg: SegmentationLossConfig, valid: jnp.ndarray,
     if cfg.cap_policy == "area":
         return t_xywh[..., 2] * t_xywh[..., 3]  # fmap-grid units ∝ true area
     if cfg.cap_policy == "random":
+        # Trainers pass a fresh per-step rng (stochastic candidate subsets
+        # across steps — the property the cap-policy sweep measured). A
+        # caller without an rng (programmatic/eval use of the now-default
+        # policy) gets a fixed-key draw: still an unbiased-by-position
+        # selection, just deterministic per call.
         if rng is None:
-            raise ValueError("cap_policy='random' needs the trainer rng")
+            rng = jax.random.PRNGKey(0)
         return jax.random.uniform(rng, valid.shape)
     raise ValueError(f"Unknown cap_policy {cfg.cap_policy!r}; "
                      f"supported: first, area, random")
