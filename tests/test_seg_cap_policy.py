@@ -72,11 +72,19 @@ def test_default_policy_is_random():
     assert cfg.cap_policy == "random"
 
 
-def test_random_policy_requires_rng():
+def test_random_policy_without_rng_falls_back_deterministically():
+    """cap_policy='random' is the config default, so a caller without a
+    trainer rng (programmatic/eval) must not crash: it gets a fixed-key
+    draw — deterministic per call, still position-unbiased."""
+    import jax
+
     valid, t_xywh, _ = _setup()
     cfg = SegmentationLossConfig(num_classes=2, cap_policy="random")
-    with pytest.raises(ValueError, match="rng"):
-        _candidate_priority(cfg, valid, t_xywh, None)
+    p1 = _candidate_priority(cfg, valid, t_xywh, None)
+    p2 = _candidate_priority(cfg, valid, t_xywh, None)
+    assert np.allclose(np.asarray(p1), np.asarray(p2))  # deterministic
+    p3 = _candidate_priority(cfg, valid, t_xywh, jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(p1), np.asarray(p3))  # rng is honored
 
 
 def test_seg_loss_runs_with_each_policy():

