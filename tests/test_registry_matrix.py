@@ -147,7 +147,10 @@ def test_tracknet_advanced_bipan_deconv_combo_overfits():
     pipe = TrainTrackNetPipeline(model, tx, mesh=make_mesh(1),
                                  sample_input_shape=(32, 64, 9))
     batch = (imgs, target, np.arange(2))  # batch[2] = host-side indices
-    losses = [pipe.train(_OneBatchLoader(batch)) for _ in range(8)]
+    # the Deconv decoder combo optimizes more slowly than the upsample one
+    # (~1.3%/step accelerating at this lr): 24 steps clears the gate with
+    # margin where 8 sat at 0.90x
+    losses = [pipe.train(_OneBatchLoader(batch)) for _ in range(24)]
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < 0.8 * losses[0], losses
     del jax
