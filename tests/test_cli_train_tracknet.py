@@ -61,3 +61,36 @@ def test_train_tracknet_run(tmp_path, monkeypatch):
     # ALL 4 eval windows counted (tp+tn+fp+fn == 4), incl. the ragged tail
     counted = float(ev[["tp", "tn", "fp", "fn"]].iloc[-1].sum())
     assert counted == 4.0, f"eval counted {counted} windows, expected 4"
+
+    # --- eval_tracknet root CLI (VERDICT r4 item #8): same one-command
+    # accuracy surface as eval_det/eval_seg, on the checkpoint just trained.
+    # Config resolves from the best_model config copy; wrap-padded batch 3
+    # over 4 eval windows re-exercises the padded-row masking.
+    import eval_tracknet
+
+    parser = eval_tracknet.build_parser()
+
+    def _run(extra):
+        return eval_tracknet.run(parser.parse_args(
+            ["--weights_path", "saved_model/tracknet/best_model/TrackNet.ckpt.tar",
+             "--batch_size", "3"] + extra))
+
+    out_train = _run([])
+    assert out_train["form"] == "train"
+    assert out_train["num_windows"] == 4
+    assert out_train["tp"] + out_train["tn"] + out_train["fp"] + out_train["fn"] == 4
+    assert 0.0 <= out_train["f1"] <= 1.0
+
+    out_deploy = _run(["--deploy"])
+    assert out_deploy["form"] == "deploy"
+    # BN folding is numerically exact: deploy scores the same confusion counts
+    assert (out_deploy["tp"], out_deploy["tn"], out_deploy["fp"], out_deploy["fn"]) \
+        == (out_train["tp"], out_train["tn"], out_train["fp"], out_train["fn"])
+
+    out_int8 = _run(["--quantize", "int8"])
+    assert out_int8["form"] == "int8"
+    assert out_int8["tp"] + out_int8["tn"] + out_int8["fp"] + out_int8["fn"] == 4
+
+    out_hough = _run(["--decode", "hough"])
+    assert out_hough["decode"] == "hough"
+    assert out_hough["tp"] + out_hough["tn"] + out_hough["fp"] + out_hough["fn"] == 4
