@@ -391,9 +391,18 @@ def run_detection_inference(
                 if kp.shape[-2:] != (0, 3) and kp.size:
                     img = apply_keypoints(img, kp.reshape(-1, 3))
             else:
+                # keypoints ride the tracker as a data payload so the kept/
+                # reordered rows keep their kp sets, exactly like the
+                # reference's sv.Detections data dict
+                # (/root/reference/inference_det.py:130-144). Unlike the
+                # reference, kp was filtered by tracked_classes above
+                # together with the boxes (the reference filters only boxes
+                # there, which would misalign the payload — latent bug).
+                has_kp = kp.shape[-2:] != (0, 3) and kp.size
                 det = Detections(
                     xyxy=boxes[:, 2:], confidence=boxes[:, 0],
-                    class_id=boxes[:, 1].astype(int))
+                    class_id=boxes[:, 1].astype(int),
+                    data={"keypoints": kp} if has_kp else None)
                 det = tracker.update_with_detections(det)
                 if len(det) == 0:
                     logger.info(f"frame {frame_no} has no tracked detections")
@@ -406,6 +415,9 @@ def run_detection_inference(
                     det.class_id[:, None].astype(np.float32),
                     det.xyxy], axis=-1)
                 img, out_boxes = apply_bboxes_from_tracks(img, tracks, **draw_kwargs)
+                tracked_kp = (det.data or {}).get("keypoints")
+                if tracked_kp is not None and tracked_kp.size:
+                    img = apply_keypoints(img, tracked_kp.reshape(-1, 3))
 
             if with_summary and out_boxes is not None and len(out_boxes):
                 out_boxes = np.array(out_boxes, dtype=np.float64, copy=True)

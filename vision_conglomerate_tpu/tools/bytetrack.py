@@ -31,7 +31,7 @@ TPU handles everything up to and including NMS; the (<=K, 6) filtered boxes
 then cross to host for association/drawing.
 """
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from scipy.linalg import cho_factor, cho_solve
@@ -40,13 +40,21 @@ from scipy.optimize import linear_sum_assignment
 
 @dataclass
 class Detections:
-    """Minimal stand-in for supervision.Detections."""
+    """Minimal stand-in for supervision.Detections.
+
+    `data` mirrors supervision's per-detection payload dict (arrays whose
+    leading axis is the detection axis): it is sliced together with the
+    detections and gathered through `update_with_detections`, which is how
+    the reference carries keypoints through the tracker for video drawing
+    (/root/reference/inference_det.py:130-144).
+    """
 
     xyxy: np.ndarray                      # (n, 4)
     confidence: Optional[np.ndarray] = None   # (n,)
     class_id: Optional[np.ndarray] = None     # (n,)
     tracker_id: Optional[np.ndarray] = None   # (n,)
     mask: Optional[np.ndarray] = None         # (n, H, W) bool
+    data: Optional[Dict[str, np.ndarray]] = None  # per-detection payloads
 
     def __len__(self):
         return int(self.xyxy.shape[0])
@@ -54,7 +62,10 @@ class Detections:
     def __getitem__(self, index):
         take = lambda a: None if a is None else a[index]  # noqa: E731
         return Detections(self.xyxy[index], take(self.confidence),
-                          take(self.class_id), take(self.tracker_id), take(self.mask))
+                          take(self.class_id), take(self.tracker_id),
+                          take(self.mask),
+                          None if self.data is None
+                          else {k: v[index] for k, v in self.data.items()})
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -335,6 +346,8 @@ class ByteTrack:
                 confidence=np.zeros((0,), np.float32),
                 class_id=np.zeros((0,), np.int32),
                 tracker_id=np.zeros((0,), np.int32),
+                data=None if detections.data is None
+                else {k: v[:0] for k, v in detections.data.items()},
             )
         xyxy = np.stack([d.xyxy[c] for _, d, c in out_rows])
         conf = np.asarray([t.score for t, _, _ in out_rows], np.float32)
@@ -345,5 +358,12 @@ class ByteTrack:
         masks = None
         if detections.mask is not None:
             masks = np.stack([d.mask[c] for _, d, c in out_rows])
+        data = None
+        if detections.data is not None:
+            # each payload row rides its matched detection (the score-band
+            # subsets sliced data along in __getitem__), aligned with the
+            # returned rows — supervision's data passthrough semantics
+            data = {k: np.stack([d.data[k][c] for _, d, c in out_rows])
+                    for k in detections.data}
         return Detections(xyxy=xyxy, confidence=conf, class_id=cls,
-                          tracker_id=tid, mask=masks)
+                          tracker_id=tid, mask=masks, data=data)
