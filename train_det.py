@@ -112,6 +112,12 @@ def run(args, config, config_path, anchors_path):
         num_classes=num_classes, num_keypoints=num_keypoints or 0, **loss_cfg_kwargs)
 
     opt_cfg = dict(tc["optimizer_config"])
+    # --lr overrides the config base lr (beyond-reference flag: the
+    # reference only scales lr by device count, never by batch size —
+    # /root/reference/train_det.py:52 — so large-batch runs need a manual
+    # override; see docs/PERF.md large-batch guidance)
+    if getattr(args, "lr", None):
+        opt_cfg["lr"] = float(args.lr)
     # reference scales lr by device count (train_det.py:52)
     opt_cfg["lr"] = float(opt_cfg.get("lr", 1e-3)) * n_devices
     # train_anchors=False freezes anchors exactly like the reference's
@@ -186,6 +192,7 @@ if __name__ == "__main__":
     parser.add_argument("--anchors_path", type=str, default="configs/detection/anchors.yaml", metavar="", help="Anchors YAML path")
     parser.add_argument("--profile_dir", type=str, default="", metavar="", help="Write a jax.profiler trace of the first epoch here")
     parser.add_argument("--map_eval", action="store_true", help="Compute mAP@50 on the val set at each eval interval (recorded in eval metrics)")
+    parser.add_argument("--lr", type=float, default=0.0, metavar="", help="Override optimizer_config.lr (still scaled by device count); 0 = use config")
     args = parser.parse_args()
 
     np.random.seed(42)

@@ -98,6 +98,8 @@ def run(args, config, config_path, anchors_path):
     loss_cfg = SegmentationLossConfig(num_classes=num_classes, **loss_cfg_kwargs)
 
     opt_cfg = dict(tc["optimizer_config"])
+    if getattr(args, "lr", None):  # --lr override (see train_det.py)
+        opt_cfg["lr"] = float(args.lr)
     opt_cfg["lr"] = float(opt_cfg.get("lr", 1e-3)) * n_devices
     # train_anchors=False freezes anchors exactly like the reference's
     # requires_grad gate (/root/reference/modules/detection.py:36-38)
@@ -149,6 +151,7 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint_path", type=str, default="", metavar="", help="Resume from this checkpoint")
     parser.add_argument("--config_path", type=str, default="configs/segmentation/config.yaml", metavar="", help="Config YAML path")
     parser.add_argument("--anchors_path", type=str, default="configs/segmentation/anchors.yaml", metavar="", help="Anchors YAML path")
+    parser.add_argument("--lr", type=float, default=0.0, metavar="", help="Override optimizer_config.lr (still scaled by device count); 0 = use config")
     args = parser.parse_args()
 
     np.random.seed(42)

@@ -61,6 +61,8 @@ def run(args, config, config_path):
     model = TrackNet(config=config["model_config"], dtype=dtype)
 
     opt_cfg = dict(tc["optimizer_config"])
+    if getattr(args, "lr", None):  # --lr override (see train_det.py)
+        opt_cfg["lr"] = float(args.lr)
     opt_cfg["lr"] = float(opt_cfg.get("lr", 1.0)) * n_devices
     tx, base_lr = make_optimizer(opt_cfg)
     scheduler = (make_lr_scheduler(tc.get("lr_scheduler_config"), base_lr)
@@ -113,6 +115,7 @@ if __name__ == "__main__":
     parser.add_argument("--use_ddp", action="store_true", help="Shard training over all visible devices (data parallel)")
     parser.add_argument("--checkpoint_path", type=str, default="", metavar="", help="Resume from this checkpoint")
     parser.add_argument("--config_path", type=str, default="configs/tracknet/config.yaml", metavar="", help="Config YAML path")
+    parser.add_argument("--lr", type=float, default=0.0, metavar="", help="Override optimizer_config.lr (still scaled by device count); 0 = use config")
     parser.add_argument("--cache_data", action="store_true",
                         help="Cache decoded frame windows in host RAM after the first epoch "
                              "(samples are deterministic; removes repeated decode cost on small clip datasets)")
