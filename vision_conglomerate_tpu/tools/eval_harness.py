@@ -370,14 +370,32 @@ def evaluate_pipeline_map(
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
-    forward = _make_postprocess_forward(
-        lambda x: model.apply(variables, x, train=False, inference=True),
-        model.num_classes,
-        num_keypoints=model.num_keypoints or 0,
-        iou_threshold_nms=nms_iou_threshold,
-        score_threshold=score_threshold,
-        max_detections=max_detections,
-    )
+    # ONE jitted program per pipeline, with variables as an ARGUMENT: a
+    # closure over the current params would bake them in as constants and
+    # re-trace + re-compile every eval epoch (measured ~2 min/epoch through
+    # the remote compile service at batch 128 — most of the --map_eval
+    # per-epoch cost in the round-5 b128 run)
+    jitted = getattr(pipeline, "_map_eval_forward", None)
+    if jitted is None:
+        num_kp = model.num_keypoints or 0
+
+        @jax.jit
+        def jitted(v, x):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            preds = model.apply(v, x, train=False, inference=True)
+            return postprocess_detections(
+                preds, num_classes=model.num_classes,
+                num_keypoints=num_kp,
+                iou_threshold=nms_iou_threshold,
+                score_threshold=score_threshold,
+                box_allowance=0.0,
+                max_detections=max_detections,
+            )
+
+        pipeline._map_eval_forward = jitted
+
+    forward = lambda x: jitted(variables, x)  # noqa: E731
     img_wh = (dataset.img_wh[0], dataset.img_wh[1])
     return _collect_and_score(
         forward, dataset, batch_size, model.num_classes, img_wh, iou_threshold,
