@@ -43,14 +43,14 @@ def main():
 
     runner._make_forward = caching_make_forward
 
-    def arm(prefetch, tag):
+    def arm(prefetch, tag, out_ext="png"):
         os.environ["VCT_INFER_PREFETCH"] = "1" if prefetch else "0"
         t0 = time.perf_counter()
         runner.run_detection_inference(
             path=img_dir, weights_path=weights, config=config,
             task="detection", batch_size=batch, iou_threshold=0.35,
             score_threshold=0.3, with_summary=False,
-            storage_path=f"/tmp/serve_e2e_{tag}")
+            storage_path=f"/tmp/serve_e2e_{tag}", out_ext=out_ext)
         return time.perf_counter() - t0
 
     dt_warm = arm(False, "warm")  # compile pass, discarded
@@ -65,7 +65,12 @@ def main():
     print(f"prefetch=0 (repeat): {n_imgs} imgs in {dt_off2:.1f}s = "
           f"{n_imgs / dt_off2:.1f} img/s", flush=True)
     print(f"speedup prefetch on/off: {dt_off1 / dt_on:.2f}x "
-          f"(drift check off1/off2 = {dt_off1 / dt_off2:.2f})")
+          f"(drift check off1/off2 = {dt_off1 / dt_off2:.2f})", flush=True)
+    # PNG encode of the annotated og-size outputs dominates the host cost
+    # on 1-CPU containers; --out_ext jpg is the measured lever
+    dt_jpg = arm(False, "jpg", out_ext="jpg")
+    print(f"out_ext=jpg (prefetch=0): {n_imgs} imgs in {dt_jpg:.1f}s = "
+          f"{n_imgs / dt_jpg:.1f} img/s ({dt_off2 / dt_jpg:.2f}x vs png)")
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ TOP marker (drawn dot) and BOTTOM marker, so keypoint training has real
 signal; ~10% of keypoints are marked vis=0 (not drawn) to exercise the
 visibility classes.
 
-Usage: python dev/make_shapes_dataset.py [out_root] [n_train] [n_valid] [size] [--keypoints]
+Usage: python dev/make_shapes_dataset.py [out_root] [n_train] [n_valid] [size] [--keypoints] [--png]
 """
 import os
 import sys
@@ -24,7 +24,7 @@ import numpy as np
 from PIL import Image, ImageDraw
 
 
-def make_split(root, n, size, rng, keypoints=False):
+def make_split(root, n, size, rng, keypoints=False, ext="jpg"):
     os.makedirs(root, exist_ok=True)
     for i in range(n):
         # textured background
@@ -63,7 +63,10 @@ def make_split(root, n, size, rng, keypoints=False):
                         draw.ellipse([kx - kr, ky - kr, kx + kr, ky + kr], fill=col)
                     row += [kx / size, ky / size, vis]
             labels.append(tuple(row))
-        im.save(os.path.join(root, f"img_{i:04d}.png"))
+        # jpg (quality 95) by default: the shipped configs set img_ext "jpg"
+        # and the native decode backend is a jpeg decoder
+        im.save(os.path.join(root, f"img_{i:04d}.{ext}"),
+                **({"quality": 95} if ext == "jpg" else {}))
         with open(os.path.join(root, f"img_{i:04d}.txt"), "w") as f:
             for row in labels:
                 f.write(" ".join(
@@ -71,16 +74,17 @@ def make_split(root, n, size, rng, keypoints=False):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--keypoints"]
+    argv = [a for a in sys.argv[1:] if a not in ("--keypoints", "--png")]
     keypoints = "--keypoints" in sys.argv[1:]
+    ext = "png" if "--png" in sys.argv[1:] else "jpg"
     out = argv[0] if len(argv) > 0 else "data/detection"
     n_train = int(argv[1]) if len(argv) > 1 else 240
     n_valid = int(argv[2]) if len(argv) > 2 else 60
     size = int(argv[3]) if len(argv) > 3 else 640
     make_split(os.path.join(out, "train"), n_train, size,
-               np.random.default_rng(0), keypoints=keypoints)
+               np.random.default_rng(0), keypoints=keypoints, ext=ext)
     make_split(os.path.join(out, "valid"), n_valid, size,
-               np.random.default_rng(1), keypoints=keypoints)
+               np.random.default_rng(1), keypoints=keypoints, ext=ext)
     print(f"wrote {n_train} train + {n_valid} valid {size}px images to {out}"
           + (" (with keypoints)" if keypoints else ""))
 

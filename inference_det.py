@@ -34,6 +34,7 @@ def run(args, config_path: str, task: str = "detection"):
         use_reparam=not args.no_reparam,
         quantize=(args.quantize if args.quantize != "none" else None),
         crop_masks=getattr(args, "crop_masks", False),
+        out_ext=args.out_ext,
     )
 
 
@@ -59,6 +60,10 @@ def build_parser(task: str, default_weights: str) -> argparse.ArgumentParser:
     parser.add_argument("--no_reparam", action="store_true", help="Serve the train-form (multi-branch RepVGG) network")
     parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"], metavar="",
                         help="Post-training quantization of the deploy-form convs (int8 MXU; calibrated on the first batch)")
+    parser.add_argument("--out_ext", type=str, default="png", choices=["png", "jpg", "jpeg"], metavar="",
+                        help="Annotated-image output format; png matches the reference "
+                             "(inference_det.py:157-158), jpg is ~20x cheaper to encode on "
+                             "small hosts (docs/PERF.md end-to-end serving)")
     return parser
 
 

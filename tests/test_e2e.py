@@ -125,6 +125,23 @@ def test_detection_train_checkpoint_infer_roundtrip(tmp_path, monkeypatch):
     assert len(pngs) == 4  # score_threshold=0 -> every image has boxes
     assert os.path.exists(os.path.join(storage, "output.csv"))
 
+    # out_ext=jpg: the measured host-encode lever (docs/PERF.md end-to-end
+    # serving); same images, jpg outputs instead of the reference's png
+    storage2 = run_detection_inference(
+        path=root, weights_path=weights, config=config, task="detection",
+        batch_size=2, iou_threshold=0.5, score_threshold=0.0,
+        with_summary=False, box_allowance=0, max_detections=16,
+        storage_path=str(tmp_path / "out_jpg"), out_ext="jpg",
+    )
+    assert len(glob.glob(os.path.join(storage2, "img_*.jpg"))) == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_ext"):
+        run_detection_inference(
+            path=root, weights_path=weights, config=config, task="detection",
+            batch_size=2, storage_path=str(tmp_path / "out_bad"),
+            out_ext="bmp",
+        )
+
 
 def test_segmentation_train_step(tmp_path):
     from vision_conglomerate_tpu.data import DataLoader, SegmentationDataset

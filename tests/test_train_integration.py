@@ -140,6 +140,30 @@ def test_checkpoint_roundtrip(tmp_path):
         resolve_checkpoint_path(str(empty))
 
 
+def test_best_eval_loss_survives_resume(tmp_path):
+    """best_eval_loss seeds the CLI best-model tracking from RESTORED
+    history: a resumed run whose first eval is worse than the pre-resume
+    best must not treat it as a new best (train_det.py best_loss seed)."""
+    rng = np.random.default_rng(3)
+    batch = _batch(rng)
+    pipe = _make_pipeline(make_mesh(1))
+    assert pipe.best_eval_loss() == float("inf")  # no history yet
+    pipe.train(_OneBatchLoader(batch))
+    m = pipe.evaluate(_OneBatchLoader(batch))
+    assert pipe.best_eval_loss() == pytest.approx(m["aggregate_loss"])
+    pipe.checkpoints_dir = str(tmp_path / "ckpts")
+    pipe.save_checkpoint()
+
+    pipe2 = _make_pipeline(make_mesh(1))
+    pipe2.load_checkpoint(str(tmp_path / "ckpts"))
+    assert pipe2.best_eval_loss() == pytest.approx(m["aggregate_loss"])
+    # a worse post-resume eval is not a new best; a better one is
+    pipe2._record("eval", {"aggregate_loss": m["aggregate_loss"] + 1.0}, False)
+    assert pipe2.best_eval_loss() == pytest.approx(m["aggregate_loss"])
+    pipe2._record("eval", {"aggregate_loss": m["aggregate_loss"] - 1.0}, False)
+    assert pipe2.best_eval_loss() == pytest.approx(m["aggregate_loss"] - 1.0)
+
+
 class _RaggedEvalLoader:
     """Mimics DataLoader pad_last="wrap": yields one batch whose trailing
     rows are wrap-padded duplicates; .dataset carries the true length."""

@@ -142,7 +142,9 @@ def run(args, config, config_path, anchors_path):
 
     from vision_conglomerate_tpu.utils.profiling import trace
 
-    best_loss = float("inf")
+    # seeded from restored history so --checkpoint_path resumes keep the
+    # best-model-so-far semantics (base.py best_eval_loss)
+    best_loss = pipeline.best_eval_loss()
     verbose = not args.no_verbose
     for epoch in range(pipeline.last_epoch, args.epochs):
         logger.info(f"epoch {epoch + 1}/{args.epochs}")

@@ -119,7 +119,7 @@ def run(args, config, config_path, anchors_path):
         sample_input_shape=(img_wh[1], img_wh[0], 3),
     )
 
-    best_loss = float("inf")
+    best_loss = pipeline.best_eval_loss()  # resume-safe (base.py)
     verbose = not args.no_verbose
     for epoch in range(pipeline.last_epoch, args.epochs):
         logger.info(f"epoch {epoch + 1}/{args.epochs}")

@@ -83,7 +83,7 @@ def run(args, config, config_path):
         hough_grad_config=tc.get("hough_grad_config", {}),
     )
 
-    best_loss = float("inf")
+    best_loss = pipeline.best_eval_loss("loss")  # resume-safe (base.py)
     verbose = not args.no_verbose
     for epoch in range(pipeline.last_epoch, args.epochs):
         logger.info(f"epoch {epoch + 1}/{args.epochs}")

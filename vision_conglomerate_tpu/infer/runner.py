@@ -234,6 +234,10 @@ def run_detection_inference(
     # first batch of the actual input — see nn/quantize.py)
     crop_masks: bool = False,  # beyond-reference: crop assembled masks to
     # their predicted boxes (see ops/postprocess.assemble_instance_masks)
+    out_ext: str = "png",  # annotated-image format; "png" is the reference's
+    # format (inference_det.py:157-158) but PNG encode is the dominant host
+    # cost of directory serving on small hosts (135 vs 6 ms/img at 720p,
+    # docs/PERF.md end-to-end serving) — "jpg" is the fast opt-in
 ):
     """End-to-end CLI driver (reference inference_det.py run/evaluate_frames,
     :168-311). `save_og_size` implements the flag the reference documents in
@@ -266,6 +270,8 @@ def run_detection_inference(
 
     if quantize not in (None, "none", "int8"):
         raise ValueError(f"unknown quantize mode: {quantize!r}")
+    if out_ext not in ("png", "jpg", "jpeg"):
+        raise ValueError(f"unknown out_ext: {out_ext!r} (png|jpg|jpeg)")
     if quantize == "int8" and not use_reparam:
         raise ValueError("--quantize int8 requires the deploy (reparam) form; "
                          "drop --no_reparam")
@@ -429,7 +435,9 @@ def run_detection_inference(
 
             if vwriter is None:
                 from PIL import Image
-                Image.fromarray(img).save(os.path.join(storage, f"img_{frame_no}.png"))
+                Image.fromarray(img).save(
+                    os.path.join(storage, f"img_{frame_no}.{out_ext}"),
+                    **({"quality": 90} if out_ext in ("jpg", "jpeg") else {}))
             else:
                 vwriter.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         start_idx += imgs.shape[0]

@@ -163,6 +163,16 @@ class BasePipeline:
         self._eval_metrics = list(metrics.get("EVAL", []))
         return manifest
 
+    def best_eval_loss(self, key: str = "aggregate_loss") -> float:
+        """Lowest eval loss recorded so far, INCLUDING history restored by
+        load_checkpoint. The train CLIs seed their best-model tracking from
+        this instead of +inf so a resumed run cannot overwrite a better
+        best_model/ artifact with its first post-resume eval (observed in
+        the round-5 b128 hardware run, which resumed mid-run)."""
+        vals = [m[key] for m in self._eval_metrics
+                if key in m and m[key] == m[key]]
+        return min(vals) if vals else float("inf")
+
     # ------------------------------------------------------------ metrics IO
     def _record(self, mode: str, metrics: Dict[str, float], verbose: bool):
         if process_is_primary():
